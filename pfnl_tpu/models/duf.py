@@ -1,0 +1,157 @@
+"""DUF: Deep Video SR Using Dynamic Upsampling Filters
+(reference model/dufvsr.py:19-58 + model/nets.py FR_16L/28L/52L backbones).
+
+A dense 3-D conv network over the 7-frame clip produces per-pixel dynamic
+upsampling filters Fx [B,1,H,W,25,16] (softmaxed over the 25 taps) and a
+residual Rx [B,1,H,W,3*16]; the center frame is filtered per RGB channel
+with `dyn_filter_3d` + depth_to_space, then the residual is added.
+
+Backbone structure (model/nets.py): dense blocks
+(BN-relu-1x1x1 -> BN-relu-3x3x3, concat growth) with the last 3 blocks
+using temporally-VALID 3x3x3 convs that shrink T 7->1.  BatchNorm is the
+reference's hand-rolled moving-average BN (utils.py:251-278) with
+moving_variance initialized to 0 (quirk preserved; the TF zero_debias
+correction is intentionally simplified to a standard EMA — flagged
+deviation, irrelevant when training from scratch).
+
+TPU notes: 3-D convs lower to XLA ConvGeneral in NDHWC; `is_train` is a
+static Python bool so train/eval trace separately (the reference used a
+tf.cond placeholder).
+"""
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from pfnl_tpu.ops.dynfilter import dyn_filter_3d
+from pfnl_tpu.ops.shuffle import depth_to_space, depth_to_space_3d
+
+_he_trunc = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+
+# layer-count -> (num_thw_blocks, num_hw_blocks, growth, conv2_in)
+_FR_CONFIGS = {
+    16: (3, 3, 32, 256),
+    28: (9, 3, 16, 256),
+    52: (21, 3, 16, 448),
+}
+
+
+class Conv3D(nn.Module):
+    """VALID 3-D conv with explicit padding mode, NDHWC.
+
+    pad: "hw" pads H/W by 1 (reference `sp`), "thw" pads T/H/W by 1
+    (reference `stp`), "none" no padding."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    pad: str = "none"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        w = self.param("W", _he_trunc, (kt, kh, kw, x.shape[-1], self.features))
+        if self.pad == "thw":
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        elif self.pad == "hw":
+            x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class RefBatchNorm(nn.Module):
+    """Hand-rolled moving-average BN (reference utils.py:251-278).
+    eps=1e-3; moving_variance init 0 (reference quirk, utils.py:267)."""
+
+    decay: float = 0.999
+
+    @nn.compact
+    def __call__(self, x, is_train: bool):
+        fdim = (x.shape[-1],)
+        beta = self.param("beta", nn.initializers.zeros, fdim)
+        gamma = self.param("gamma", nn.initializers.ones, fdim)
+        mov_mean = self.variable("batch_stats", "moving_mean", jnp.zeros, fdim)
+        mov_var = self.variable("batch_stats", "moving_variance", jnp.zeros, fdim)
+        if is_train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.var(x, axes)
+            if not self.is_initializing():
+                d = self.decay
+                mov_mean.value = mov_mean.value * d + mean * (1 - d)
+                mov_var.value = mov_var.value * d + var * (1 - d)
+        else:
+            mean, var = mov_mean.value, mov_var.value
+        inv = lax.rsqrt(var + 1e-3)
+        return gamma * (x - mean) * inv + beta
+
+
+class FRNet(nn.Module):
+    """Dense 3-D backbone producing (filters, residual)
+    (reference model/nets.py:9-150)."""
+
+    layers: int = 52
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, x, is_train: bool):
+        n_thw, n_hw, growth, _ = _FR_CONFIGS[self.layers]
+        r2 = self.scale * self.scale
+        bn = lambda name: RefBatchNorm(name=name)
+        x = Conv3D(64, (1, 3, 3), pad="hw", name="conv1")(x)
+        feats = 64
+        for r in range(n_thw + n_hw):
+            t = bn(f"Rbn{r + 1}a")(x, is_train)
+            t = nn.relu(t)
+            t = Conv3D(feats, (1, 1, 1), name=f"Rconv{r + 1}a")(t)
+            t = bn(f"Rbn{r + 1}b")(t, is_train)
+            t = nn.relu(t)
+            if r < n_thw:
+                t = Conv3D(growth, (3, 3, 3), pad="thw", name=f"Rconv{r + 1}b")(t)
+                x = jnp.concatenate([x, t], axis=4)
+            else:
+                # temporally-VALID conv shrinks T by 2; crop x to match
+                t = Conv3D(growth, (3, 3, 3), pad="hw", name=f"Rconv{r + 1}b")(t)
+                x = jnp.concatenate([x[:, 1:-1], t], axis=4)
+            feats += growth
+
+        x = nn.relu(bn("fbn1")(x, is_train))
+        x = nn.relu(Conv3D(256, (1, 3, 3), pad="hw", name="conv2")(x))
+
+        r = nn.relu(Conv3D(256, (1, 1, 1), name="rconv1")(x))
+        r = Conv3D(3 * r2, (1, 1, 1), name="rconv2")(r)
+
+        f = nn.relu(Conv3D(512, (1, 1, 1), name="fconv1")(x))
+        f = Conv3D(25 * r2, (1, 1, 1), name="fconv2")(f)
+        b, t_out, h, w, _ = f.shape
+        f = f.reshape(b, t_out, h, w, 25, r2)
+        f = nn.softmax(f, axis=4)
+        return f, r
+
+
+class DUF(nn.Module):
+    num_frames: int = 7
+    scale: int = 4
+    layers: int = 52
+
+    @nn.compact
+    def __call__(self, x, is_train: bool = False):
+        idx0 = self.num_frames // 2
+        fx, rx = FRNet(layers=self.layers, scale=self.scale, name="G")(x, is_train)
+        chans = []
+        for c in range(3):
+            t = dyn_filter_3d(x[:, idx0 : idx0 + 1, :, :, c], fx[:, 0], (1, 5, 5))
+            t = depth_to_space(t, self.scale)  # [B,H*R,W*R,1]
+            chans.append(t)
+        sr = jnp.concatenate(chans, axis=3)[:, None]  # [B,1,H*R,W*R,3]
+        sr = sr + depth_to_space_3d(rx, self.scale)
+        return {"sr": sr}

@@ -1,0 +1,93 @@
+"""PFNL: Progressive Fusion Video SR via Non-Local Spatio-Temporal
+Correlations (ICCV 2019) — the flagship model.
+
+Architecture parity with reference model/pfnl.py:39-80:
+  x [N,7,h,w,3]
+    -> frames concat to [N,h,w,21] -> space_to_depth(2) -> NonLocalBlock
+       (gaussian, out=84) -> depth_to_space(2) -> residual add
+    -> per-frame shared 5x5@64 conv (leaky_relu)
+    -> 20 x PFRB: per-frame 3x3@64 (shared), fuse 1x1@64 over the 7-frame
+       concat, per-frame 3x3@64 on concat(base, I1_i), residual add
+    -> concat 7x64 -> 3x3@48 -> d2s(2) -> 3x3@12 -> d2s(2) -> +bicubic
+    -> [N,1,4h,4w,3]
+
+TPU-first implementation notes:
+  * per-frame shared convs are applied with T folded into the batch axis —
+    one big conv per layer instead of 7 small ones, so the MXU sees
+    [N*7, h, w, C] batches (the reference builds 7 separate conv nodes).
+  * the "base" fusion conv consumes the frame-concat channel layout
+    [N,h,w,7*64]; both layouts are pure reshapes/transposes XLA fuses.
+  * bicubic upsampling of the center frame is the matmul-based resize
+    (ops/resize.py) with the TF1-legacy mapping.
+"""
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
+from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
+from pfnl_tpu.ops.resize import resize_bicubic
+
+
+class PFNL(nn.Module):
+    num_frames: int = 7
+    scale: int = 4
+    mf: int = 64
+    num_blocks: int = 20
+    nonlocal_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, t, h, w, c = x.shape
+        assert t == self.num_frames, f"expected {self.num_frames} frames, got {t}"
+        mf = self.mf
+        act = leaky_relu
+        conv = lambda feats, k, name: nn.Conv(
+            feats,
+            (k, k),
+            padding="SAME",
+            kernel_init=xavier_uniform(),
+            dtype=self.dtype,
+            name=name,
+        )
+
+        xc = x.astype(self.dtype)
+
+        # --- non-local residual over the frame-concat image ---
+        inp0 = xc.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * c)  # [N,h,w,21]
+        inp1 = space_to_depth(inp0, 2)
+        inp1 = NonLocalBlock(
+            out_channels=c * t * 4,
+            sub_sample=1,
+            nltype=1,
+            impl=self.nonlocal_impl,
+            name="nlblock_0",
+        )(inp1)
+        inp1 = depth_to_space(inp1, 2)
+        inp0 = inp0 + inp1
+
+        # back to per-frame, fold T into batch: [N*t, h, w, c]
+        frames = inp0.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4).reshape(n * t, h, w, c)
+        feat = act(conv(mf, 5, "conv0")(frames))  # shared conv0 across frames
+
+        bic = resize_bicubic(xc[:, t // 2], (h * self.scale, w * self.scale))
+
+        for i in range(self.num_blocks):
+            i1 = act(conv(mf, 3, f"conv1_{i}")(feat))  # [N*t,h,w,mf]
+            # fuse across frames: [N,h,w,t*mf] -> 1x1 conv
+            i1_frames = i1.reshape(n, t, h, w, mf).transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
+            base = act(conv(mf, 1, f"conv10_{i}")(i1_frames))  # [N,h,w,mf]
+            base_tiled = jnp.broadcast_to(base[:, None], (n, t, h, w, mf)).reshape(n * t, h, w, mf)
+            i2 = act(conv(mf, 3, f"conv2_{i}")(jnp.concatenate([base_tiled, i1], axis=-1)))
+            feat = feat + i2
+
+        merge = feat.reshape(n, t, h, w, mf).transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
+        merge = act(conv(48, 3, "convmerge1")(merge))
+        large1 = depth_to_space(merge, 2)
+        out1 = conv(12, 3, "convmerge2")(large1)  # no activation (pfnl.py:53)
+        out = depth_to_space(out1, 2)
+
+        sr = (out + bic).astype(jnp.float32)
+        return {"sr": sr[:, None]}  # [N,1,H,W,3]

@@ -1,0 +1,118 @@
+"""Optical-flow warping: bilinear backward (gather) and forward (splat) warps.
+
+Coordinate convention (reference modules/videosr_ops.py:284-303 `meshgrid`):
+flow channel 0 is x (column displacement), channel 1 is y (row displacement).
+Target coords are scaled by the out/in ratio, enabling the SPMC
+"upscale-while-warping" trick DRVSR uses (model/drvsr.py:145 warps LR frames
+directly onto the HR grid).  The reference scales x by out_h/h and y by
+out_w/w (modules/videosr_ops.py:407-408) — a benign quirk because every call
+site uses equal ratios; we replicate it verbatim so behaviour is identical
+even if a caller ever passes unequal ratios.
+
+Backward warp = bilinear gather; output clipped to [0,1] like the reference
+(modules/videosr_ops.py:391).  Forward warp = bilinear splat implemented with
+`jax.ops.segment_sum` (the TPU-native analogue of the reference's
+CPU-pinned `tf.unsorted_segment_sum`, modules/videosr_ops.py:467-471);
+indices are clipped — not masked — at the borders, matching the reference's
+accumulate-at-border semantics.  Both are differentiable through the
+segment-sum/gather adjoints, matching the reference's gradient paths.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _fold5d(x):
+    if x.ndim == 5:
+        n, t = x.shape[:2]
+        return x.reshape((n * t,) + x.shape[2:]), (n, t)
+    return x, None
+
+
+def _coords(uv: jax.Array, h: int, w: int, out_h: int, out_w: int):
+    """Scaled absolute sampling coordinates + bilinear taps/weights.
+
+    Returns (x0, x1, y0, y1) int32 clipped taps and (wa, wb, wc, wd) weights
+    with the reference's weight<->index pairing:
+      a=(y0,x0) b=(y1,x0) c=(y0,x1) d=(y1,x1)."""
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = (gx + uv[..., 0]) * (out_h / h)  # quirk preserved: x scaled by height ratio
+    y = (gy + uv[..., 1]) * (out_w / w)  # quirk preserved: y scaled by width ratio
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    x1f = x0f + 1.0
+    y1f = y0f + 1.0
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0f)
+    wc = (x - x0f) * (y1f - y)
+    wd = (x - x0f) * (y - y0f)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, out_w - 1)
+    x1 = jnp.clip(x1f.astype(jnp.int32), 0, out_w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, out_h - 1)
+    y1 = jnp.clip(y1f.astype(jnp.int32), 0, out_h - 1)
+    return (x0, x1, y0, y1), (wa, wb, wc, wd)
+
+
+def backward_warp(im: jax.Array, uv: jax.Array, out_size=None) -> jax.Array:
+    """Bilinear gather-warp (reference imwarp_backward,
+    modules/videosr_ops.py:306-396).
+
+    im: [B,H,W,C] (or [B,T,H,W,C]) source image; uv: same spatial shape,
+    2 channels.  Output matches the input spatial shape and is clipped to
+    [0,1].  The reference signature is imwarp_backward(uv, im, out_size);
+    argument order here is (im, uv) for readability."""
+    im, fold = _fold5d(im)
+    uv, _ = _fold5d(uv)
+    b, h, w, c = im.shape
+    out_h, out_w = (h, w) if out_size is None else (int(out_size[0]), int(out_size[1]))
+    (x0, x1, y0, y1), (wa, wb, wc, wd) = _coords(uv.astype(jnp.float32), h, w, out_h, out_w)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    ia = im[bidx, y0, x0]
+    ib = im[bidx, y1, x0]
+    ic = im[bidx, y0, x1]
+    id_ = im[bidx, y1, x1]
+    out = wa[..., None] * ia + wb[..., None] * ib + wc[..., None] * ic + wd[..., None] * id_
+    out = jnp.clip(out, 0.0, 1.0)
+    if fold is not None:
+        n, t = fold
+        out = out.reshape(n, t, h, w, c)
+    return out
+
+
+def forward_warp(im: jax.Array, uv: jax.Array, out_size=None) -> jax.Array:
+    """Bilinear splat-warp (reference imwarp_forward,
+    modules/videosr_ops.py:399-503).
+
+    im: [B,H,W,C] or [B,T,H,W,C]; uv: [B,H,W,2] at the *input* resolution.
+    out_size may exceed the input size (SPMC upscale-while-warp)."""
+    im, fold = _fold5d(im)
+    b, h, w, c = im.shape
+    out_h, out_w = (h, w) if out_size is None else (int(out_size[0]), int(out_size[1]))
+    (x0, x1, y0, y1), (wa, wb, wc, wd) = _coords(uv.astype(jnp.float32), h, w, out_h, out_w)
+
+    base = jnp.arange(b, dtype=jnp.int32)[:, None, None] * (out_h * out_w)
+    ids = [
+        (base + y0 * out_w + x0).reshape(-1),
+        (base + y1 * out_w + x0).reshape(-1),
+        (base + y0 * out_w + x1).reshape(-1),
+        (base + y1 * out_w + x1).reshape(-1),
+    ]
+    flat_im = im.reshape(-1, c)
+    data = [
+        (wa.reshape(-1, 1) * flat_im),
+        (wb.reshape(-1, 1) * flat_im),
+        (wc.reshape(-1, 1) * flat_im),
+        (wd.reshape(-1, 1) * flat_im),
+    ]
+    out = jax.ops.segment_sum(
+        jnp.concatenate(data, axis=0),
+        jnp.concatenate(ids, axis=0),
+        num_segments=b * out_h * out_w,
+    )
+    out = out.reshape(b, out_h, out_w, c)
+    if fold is not None:
+        n, t = fold
+        out = out.reshape(n, t, out_h, out_w, c)
+    return out
