@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): HR frames/sec/chip for PFNL 7-frame x4 SR.
+Default shape: LR 180x320 -> HR 720x1280 (720p output, the UDM10 geometry).
+
+Methodology: this environment reaches the chip through a relay whose
+round-trip latency (~30 ms) dwarfs a single step, and block_until_ready
+does not block — so we chain `steps` forward passes inside one lax.scan
+(each iteration's input perturbed by the previous output so nothing folds
+away), force completion with a scalar readback, and subtract the measured
+readback floor.
+
+vs_baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
+We normalize against the PFNL paper's reported runtime for 720p x4
+(~0.24 s/frame on the authors' GPU => ~4.2 HR frames/sec), the only
+reference-derived figure available.  Driver target: >= 10x => vs_baseline
+>= 10.
+"""
+
+import json
+import time
+
+import numpy as np
+
+_REFERENCE_FPS = 4.2  # PFNL paper ~0.24 s per 720p frame (TF1, single GPU)
+
+
+def _time_chained(fn, *args, repeats: int = 3):
+    """Median wall time of fn(*args) forced by scalar readback, minus the
+    readback floor."""
+    import jax
+    import jax.numpy as jnp
+
+    floor_fn = jax.jit(lambda: jnp.float32(1.0))
+    float(floor_fn())
+    floors = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(floor_fn())
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
+
+    float(fn(*args))  # compile + warm up
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return max(float(np.median(times)) - floor, 1e-9)
+
+
+def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
+         steps: int = 20, batch: int = 1, dtype: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pfnl_tpu.models import MODEL_REGISTRY
+
+    h, w = (int(v) for v in hw.split("x"))
+    kwargs = {"num_frames": frames}
+    if model == "pfnl":
+        kwargs["dtype"] = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        kwargs["nonlocal_impl"] = "auto"
+    m = MODEL_REGISTRY[model](**kwargs)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, frames, h, w, 3), np.float32)
+    )
+    init_kw = {"is_train": False} if model == "duf" else {}
+    variables = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, **init_kw))()
+
+    @jax.jit
+    def chained(variables, x):
+        def body(carry, _):
+            out = m.apply(variables, x + carry * 1e-12, **init_kw)["sr"]
+            return jnp.mean(out.astype(jnp.float32)), None
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=steps)
+        return s
+
+    dt_total = _time_chained(chained, variables, x)
+    dt = dt_total / steps
+    fps = batch / dt  # one HR frame out per input window
+
+    print(
+        json.dumps(
+            {
+                "metric": f"HR frames/sec/chip ({model} {frames}f x4, {h}x{w}->"
+                f"{h*4}x{w*4}, {dtype}, batch {batch})",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / _REFERENCE_FPS, 3),
+            }
+        )
+    )
+    return fps
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="pfnl")
+    ap.add_argument("--hw", default="180x320")
+    ap.add_argument("--frames", type=int, default=7)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    a = ap.parse_args()
+    main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)

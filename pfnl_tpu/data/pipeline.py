@@ -1,0 +1,166 @@
+"""Training input pipeline.
+
+Host side: a small thread pool samples (sequence, window, crop) uniformly,
+decodes PNGs and crops — producing uint8 batches (the reference used TF1
+queue runners with 3 threads, model/base_model.py:196-198).
+
+Device side: `device_augment_and_degrade` runs INSIDE the jitted train step:
+uint8 -> float, per-sample flip/transpose augmentation, and (for the
+"single" producer) the Gaussian blur + decimation.  This removes the
+reference's per-step device->host->device round trip of the batch
+(model/pfnl.py:194-195, SURVEY.md §3.1) and keeps the depthwise conv on
+the MXU.
+
+Producer modes mirror the reference's three input producers:
+  single  GT-only, on-the-fly degradation   (base_model.py:150-199, PFNL)
+  double  pre-rendered LR + center GT frame (base_model.py:89-148,
+          VESPCN/LTDVSR/MCResNet/DRVSR/DUF)
+  frvsr   LR + all GT frames, no flip aug   (base_model.py:36-87, FRVSR)
+"""
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pfnl_tpu.data.manifest import Sequence
+from pfnl_tpu.ops.degrade import downsample
+from pfnl_tpu.utils.image_io import imread
+
+
+def _random_crop_coords(rng, h, w, size):
+    return rng.integers(0, h - size + 1), rng.integers(0, w - size + 1)
+
+
+class TrainPipeline:
+    """Background-threaded sampler producing uint8 numpy batches."""
+
+    def __init__(
+        self,
+        sequences: List[Sequence],
+        mode: str,
+        num_frames: int,
+        in_size: int,
+        scale: int,
+        batch_size: int,
+        seed: int = 0,
+        num_threads: int = 2,
+        prefetch: int = 4,
+    ):
+        assert mode in ("single", "double", "frvsr")
+        self.sequences = [s for s in sequences if len(s.truth) >= num_frames]
+        if not self.sequences:
+            raise ValueError("no usable sequences (need >= num_frames truth frames)")
+        if mode in ("double", "frvsr"):
+            for s in self.sequences:
+                if len(s.blur) != len(s.truth):
+                    raise ValueError(f"{s.path}: blur/truth frame count mismatch")
+        self.mode = mode
+        self.num_frames = num_frames
+        self.in_size = in_size
+        self.scale = scale
+        self.gt_size = in_size * scale
+        self.batch_size = batch_size
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, args=(seed + i,), daemon=True)
+            for i in range(num_threads)
+        ]
+        for t in self._threads:
+            t.start()
+
+    # --- host sampling -------------------------------------------------
+    def _sample_one(self, rng) -> Dict[str, np.ndarray]:
+        seq = self.sequences[rng.integers(len(self.sequences))]
+        t0 = rng.integers(0, len(seq.truth) - self.num_frames + 1)
+        idx = range(t0, t0 + self.num_frames)
+        if self.mode == "single":
+            frames = [imread(seq.truth[i]) for i in idx]
+            h, w = frames[0].shape[:2]
+            y0, x0 = _random_crop_coords(rng, h, w, self.gt_size)
+            gt = np.stack(
+                [f[y0 : y0 + self.gt_size, x0 : x0 + self.gt_size] for f in frames]
+            )
+            return {"gt": gt}
+        # double / frvsr: aligned LR + GT crops
+        lrs = [imread(seq.blur[i]) for i in idx]
+        h, w = lrs[0].shape[:2]
+        y0, x0 = _random_crop_coords(rng, h, w, self.in_size)
+        lr = np.stack([f[y0 : y0 + self.in_size, x0 : x0 + self.in_size] for f in lrs])
+        gy, gx = y0 * self.scale, x0 * self.scale
+        if self.mode == "double":
+            center = imread(seq.truth[t0 + self.num_frames // 2])
+            gt = center[gy : gy + self.gt_size, gx : gx + self.gt_size][None]
+        else:
+            gts = [imread(seq.truth[i]) for i in idx]
+            gt = np.stack([f[gy : gy + self.gt_size, gx : gx + self.gt_size] for f in gts])
+        return {"lr": lr, "gt": gt}
+
+    def _worker(self, seed: int):
+        rng = np.random.default_rng(seed)
+        while not self._stop.is_set():
+            samples = [self._sample_one(rng) for _ in range(self.batch_size)]
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def get_batch(self) -> Dict[str, np.ndarray]:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+# --- device-side augmentation + degradation (jit-fused) ----------------
+
+
+def _flip_clip(clip, do_h, do_w, do_t):
+    """clip: [T,H,W,C]; flips follow base_model.py:97-103/174-177."""
+    clip = jnp.where(do_h, clip[:, ::-1], clip)
+    clip = jnp.where(do_w, clip[:, :, ::-1], clip)
+    clip = jnp.where(do_t, jnp.transpose(clip, (0, 2, 1, 3)), clip)
+    return clip
+
+
+def device_augment_and_degrade(
+    batch: Dict[str, jax.Array],
+    key: jax.Array,
+    mode: str,
+    scale: int,
+    augment: bool = True,
+):
+    """uint8 host batch -> float LR/GT training tensors, on device.
+
+    single: {"gt" [B,T,S,S,3]} -> lr [B,T,s,s,3], gt center [B,1,S,S,3]
+    double: {"lr","gt"} -> flips applied consistently to both
+    frvsr:  {"lr","gt"} -> no augmentation (reference parity)
+    """
+    if mode == "single":
+        gt = batch["gt"].astype(jnp.float32) / 255.0
+        b, t = gt.shape[:2]
+        if augment:
+            flips = jax.random.uniform(key, (b, 3)) < 0.5
+            gt = jax.vmap(_flip_clip)(gt, flips[:, 0], flips[:, 1], flips[:, 2])
+        lr = downsample(gt, scale=scale)
+        return lr, gt[:, t // 2 : t // 2 + 1]
+    lr = batch["lr"].astype(jnp.float32) / 255.0
+    gt = batch["gt"].astype(jnp.float32) / 255.0
+    if mode == "double" and augment:
+        b = lr.shape[0]
+        flips = jax.random.uniform(key, (b, 3)) < 0.5
+        lr = jax.vmap(_flip_clip)(lr, flips[:, 0], flips[:, 1], flips[:, 2])
+        gt = jax.vmap(_flip_clip)(gt, flips[:, 0], flips[:, 1], flips[:, 2])
+    return lr, gt

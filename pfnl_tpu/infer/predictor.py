@@ -1,0 +1,231 @@
+"""Inference API — preserves the reference's public surface
+(BASELINE.json: `testvideo()`/`testvideos()`):
+
+  * test_video_truth(path, name, part): read `truth/*.png`, degrade
+    ON DEVICE, slide edge-clamped temporal windows, run chunked batches,
+    save PNGs, print total/avg seconds excluding the first (warm-up) chunk
+    (reference model/pfnl.py:203-262).
+  * test_video_lr(path, name, part): same from pre-rendered `blur{s}/*.png`
+    (model/pfnl.py:264-320).
+  * testvideo(path, name): single sequence (VESPCN-family naming,
+    model/vespcn.py:298-370).
+  * testvideos(path, start, name): iterate a dataset directory
+    (model/pfnl.py:322-332) — signature (path, start, name) preserved.
+
+Family behaviours:
+  * RGB models (pfnl, frvsr): save the model output directly.
+  * Y models (vespcn/mcresnet/ltdvsr/drvsr): SR the Y channel, upscale
+    CbCr bicubically, convert ycbcr2rgb (model/vespcn.py:334-346); inputs
+    padded to a multiple of 4 with edge padding, output cropped back.
+  * frvsr: stateful frame-by-frame recurrence with O(1) state
+    (model/frvsr.py:269-310).
+
+TPU notes: chunk shapes are static — the last ragged chunk is PADDED to
+the chunk size and the extras dropped, so jit compiles each video ONCE
+(the reference rebuilds its graph per distinct shape, pfnl.py:220).
+"""
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pfnl_tpu.config import Config
+from pfnl_tpu.data.manifest import scan_dataset_dir
+from pfnl_tpu.ops.color import rgb2ycbcr, ycbcr2rgb
+from pfnl_tpu.ops.degrade import downsample_4d
+from pfnl_tpu.ops.resize import resize_bicubic
+from pfnl_tpu.utils.image_io import imread, imsave, to_uint8_img, automkdir
+
+_RGB_MODELS = ("pfnl", "frvsr")
+_Y_MODELS = ("vespcn", "mcresnet", "ltdvsr", "drvsr")
+
+
+def _clipped_windows(num_frames: int, t: int) -> np.ndarray:
+    """[F, T] edge-clamped sliding-window indices (pfnl.py:238-241)."""
+    idx = np.arange(num_frames)[:, None] + np.arange(t)[None, :] - t // 2
+    return np.clip(idx, 0, num_frames - 1)
+
+
+class Predictor:
+    def __init__(self, cfg: Config, model, variables):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self._fwd = None
+        self._degrade = jax.jit(lambda x: downsample_4d(x, scale=cfg.scale))
+
+    # --- jitted forwards ------------------------------------------------
+    def _forward(self):
+        if self._fwd is None:
+            cfg, model = self.cfg, self.model
+            if cfg.model == "duf":
+                self._fwd = jax.jit(
+                    lambda v, x: model.apply(v, x, is_train=False)["sr"]
+                )
+            else:
+                self._fwd = jax.jit(lambda v, x: model.apply(v, x)["sr"])
+        return self._fwd
+
+    def _degrade_video(self, imgs: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """HR video [F,H,W,3] float -> LR [F,h,w,3], chunked on device."""
+        outs = []
+        f = imgs.shape[0]
+        for i in range(0, f, chunk):
+            part = imgs[i : i + chunk]
+            pad = 0
+            if part.shape[0] < chunk and f > chunk:
+                pad = chunk - part.shape[0]
+                part = np.concatenate([part, part[-1:].repeat(pad, 0)])
+            out = np.asarray(self._degrade(jnp.asarray(part)))
+            outs.append(out[: out.shape[0] - pad] if pad else out)
+        return np.concatenate(outs, 0)
+
+    # --- window-batched path (pfnl / duf) -------------------------------
+    def _run_windows(self, lrs: np.ndarray, save_path: str, part: int):
+        cfg = self.cfg
+        t = cfg.num_frames
+        max_frame = lrs.shape[0]
+        part = min(part, max_frame)
+        num_once = max_frame // part + (0 if max_frame % part == 0 else 1)
+        windows = _clipped_windows(max_frame, t)  # [F, T]
+        fwd = self._forward()
+
+        print(f"Save at {save_path}")
+        print(f"{max_frame} Inputs With Shape {lrs.shape[1:]}")
+        all_time = []
+        n_chunks = (max_frame + num_once - 1) // num_once
+        for i in range(n_chunks):
+            sel = windows[i * num_once : (i + 1) * num_once]
+            pad = num_once - sel.shape[0]
+            if pad:
+                sel = np.concatenate([sel, sel[-1:].repeat(pad, 0)])
+            batch = lrs[sel]  # [num_once, T, h, w, 3]
+            st = time.time()
+            sr = np.asarray(fwd(self.variables, jnp.asarray(batch)))
+            all_time.append(time.time() - st)
+            n_valid = sr.shape[0] - pad
+            for j in range(n_valid):
+                imsave(
+                    os.path.join(save_path, f"{i * num_once + j:0>4}.png"),
+                    to_uint8_img(sr[j][0]),
+                )
+        all_time = np.array(all_time)
+        if max_frame > 0:
+            avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
+            print(f"spent {np.sum(all_time)} s in total and {avg} s in average")
+        return all_time
+
+    # --- Y-channel path (vespcn family) ---------------------------------
+    def _run_y_frames(self, lrs: np.ndarray, save_path: str):
+        cfg = self.cfg
+        t = cfg.num_frames
+        max_frame, h, w, _ = lrs.shape
+        padh = (-h) % 4
+        padw = (-w) % 4
+        lrs_p = np.pad(lrs, [[0, 0], [0, padh], [0, padw], [0, 0]], "edge")
+        windows = _clipped_windows(max_frame, t)
+        fwd = self._forward()
+        out_h, out_w = h * cfg.scale, w * cfg.scale
+
+        @jax.jit
+        def rgb_of(v, clip):
+            sr_y = self.model.apply(v, clip)["sr"][:, -1]  # [1,H',W',1]
+            center = clip[:, t // 2]
+            ycc = rgb2ycbcr(center)
+            cbcr = resize_bicubic(ycc, (sr_y.shape[1], sr_y.shape[2]))[..., 1:3]
+            return ycbcr2rgb(jnp.concatenate([sr_y, cbcr], axis=-1))
+
+        print(f"Save at {save_path}")
+        print(f"{max_frame} Inputs With Shape {lrs.shape[1:]}")
+        all_time = []
+        for idx0 in range(max_frame):
+            clip = lrs_p[windows[idx0]][None]  # [1,T,h',w',3]
+            st = time.time()
+            rgb = np.asarray(rgb_of(self.variables, jnp.asarray(clip)))
+            all_time.append(time.time() - st)
+            imsave(
+                os.path.join(save_path, f"{idx0:0>4}.png"),
+                to_uint8_img(rgb[0, :out_h, :out_w]),
+            )
+        all_time = np.array(all_time)
+        if max_frame > 0:
+            avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
+            print(f"spent {np.sum(all_time)} s in total and {avg} s in average")
+        return all_time
+
+    # --- frvsr streaming path -------------------------------------------
+    def _run_recurrent(self, lrs: np.ndarray, save_path: str):
+        model = self.model
+        step0 = jax.jit(lambda v, x: model.apply(v, x, method=model.step))
+        step1 = jax.jit(
+            lambda v, x, xp, est: model.apply(v, x, xp, est, method=model.step)
+        )
+        print(f"Save at {save_path}")
+        print(f"{lrs.shape[0]} Inputs With Shape {lrs.shape[1:]}")
+        all_time = []
+        sr = None
+        for i in range(lrs.shape[0]):
+            x = jnp.asarray(lrs[i : i + 1])
+            st = time.time()
+            if i == 0:
+                sr = step0(self.variables, x)
+            else:
+                sr = step1(self.variables, x, jnp.asarray(lrs[i - 1 : i]), sr)
+            srn = np.asarray(sr)
+            all_time.append(time.time() - st)
+            imsave(os.path.join(save_path, f"{i:0>4}.png"), to_uint8_img(srn[0]))
+        all_time = np.array(all_time)
+        if lrs.shape[0] > 0:
+            avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
+            print(f"spent {np.sum(all_time)} s in total and {avg} s in average")
+        return all_time
+
+    # --- public API ------------------------------------------------------
+    def _dispatch(self, lrs: np.ndarray, save_path: str, part: int):
+        automkdir(save_path)
+        if self.cfg.model == "frvsr":
+            return self._run_recurrent(lrs, save_path)
+        if self.cfg.model in _Y_MODELS:
+            return self._run_y_frames(lrs, save_path)
+        return self._run_windows(lrs, save_path, part)
+
+    def test_video_truth(self, path: str, name: str = "result", part: int = 1000):
+        """Degrade truth/*.png on device, then super-resolve."""
+        import glob
+
+        files = sorted(glob.glob(os.path.join(path, "truth", "*.png")))
+        imgs = np.stack([imread(f) for f in files]).astype(np.float32) / 255.0
+        lrs = self._degrade_video(imgs)
+        return self._dispatch(lrs, os.path.join(path, name), part)
+
+    def test_video_lr(self, path: str, name: str = "result", part: int = 1000):
+        """Super-resolve pre-rendered blur{scale}/*.png."""
+        import glob
+
+        files = sorted(
+            glob.glob(os.path.join(path, f"blur{self.cfg.scale}", "*.png"))
+        )
+        lrs = np.stack([imread(f) for f in files]).astype(np.float32) / 255.0
+        return self._dispatch(lrs, os.path.join(path, name), part)
+
+    # reference naming for the VESPCN family (model/vespcn.py:298)
+    def testvideo(self, path: str, name: str = "result", part: int = 1000):
+        return self.test_video_lr(path, name, part)
+
+    def testvideos(self, path: str, start: int = 0, name: str = "result",
+                   from_truth: Optional[bool] = None):
+        """Iterate sequence subdirectories (model/pfnl.py:322-332).
+        from_truth defaults to the family's reference behaviour: PFNL/DUF
+        truth-degrade for PFNL, LR files for the others."""
+        if from_truth is None:
+            from_truth = self.cfg.model == "pfnl"
+        for idx, k in enumerate(scan_dataset_dir(path)):
+            if idx >= start:
+                if from_truth:
+                    self.test_video_truth(k, name=name)
+                else:
+                    self.test_video_lr(k, name=name)

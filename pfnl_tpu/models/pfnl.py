@@ -12,15 +12,25 @@ Architecture parity with reference model/pfnl.py:39-80:
     -> [N,1,4h,4w,3]
 
 TPU-first implementation notes:
-  * per-frame shared convs are applied with T folded into the batch axis —
-    one big conv per layer instead of 7 small ones, so the MXU sees
-    [N*7, h, w, C] batches (the reference builds 7 separate conv nodes).
-  * the "base" fusion conv consumes the frame-concat channel layout
-    [N,h,w,7*64]; both layouts are pure reshapes/transposes XLA fuses.
+  * per-frame shared convs run with T folded into the batch axis — one big
+    conv per layer instead of 7 small ones (the reference builds 7 conv
+    nodes per layer).
+  * the PFRB is algebraically refactored for the MXU (identical function
+    space, no concats/transposes in the hot loop):
+      - fuse conv10(concat_t I1_t) == sum_t conv10_t(I1_t), expressed as a
+        single einsum over the frame axis;
+      - conv2(concat(base, I1_i)) == conv2_base(base) + conv2_frame(I1_i):
+        the base half is conv-ed ONCE per sample and broadcast over the 7
+        frames instead of being recomputed per frame (the reference
+        recomputes it 7x inside the concat, model/pfnl.py:69-70) — a 28%
+        FLOP cut at identical outputs for suitably-merged weights.
+    Kernel initializers are variance-matched to the reference's
+    xavier-on-concatenated-kernel so training statistics are preserved.
   * bicubic upsampling of the center frame is the matmul-based resize
     (ops/resize.py) with the TF1-legacy mapping.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -28,6 +38,18 @@ import flax.linen as nn
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
 from pfnl_tpu.ops.resize import resize_bicubic
+
+
+def _xavier_with_fans(fan_in: int, fan_out: int):
+    """Glorot-uniform with EXPLICIT fans — used for kernels that are
+    mathematical slices of the reference's larger concatenated kernels, so
+    the init distribution matches the unsplit parameterization."""
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
 
 
 class PFNL(nn.Module):
@@ -44,11 +66,12 @@ class PFNL(nn.Module):
         assert t == self.num_frames, f"expected {self.num_frames} frames, got {t}"
         mf = self.mf
         act = leaky_relu
-        conv = lambda feats, k, name: nn.Conv(
+        conv = lambda feats, k, name, init=None, bias=True: nn.Conv(
             feats,
             (k, k),
             padding="SAME",
-            kernel_init=xavier_uniform(),
+            kernel_init=init or xavier_uniform(),
+            use_bias=bias,
             dtype=self.dtype,
             name=name,
         )
@@ -74,13 +97,29 @@ class PFNL(nn.Module):
 
         bic = resize_bicubic(xc[:, t // 2], (h * self.scale, w * self.scale))
 
+        # fans of the reference's concatenated kernels
+        fuse_fans = (t * mf, mf)                      # 1x1 over [.., t*mf]
+        conv2_fans = (9 * 2 * mf, 9 * mf)             # 3x3 over [.., 2*mf]
+
         for i in range(self.num_blocks):
             i1 = act(conv(mf, 3, f"conv1_{i}")(feat))  # [N*t,h,w,mf]
-            # fuse across frames: [N,h,w,t*mf] -> 1x1 conv
-            i1_frames = i1.reshape(n, t, h, w, mf).transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
-            base = act(conv(mf, 1, f"conv10_{i}")(i1_frames))  # [N,h,w,mf]
-            base_tiled = jnp.broadcast_to(base[:, None], (n, t, h, w, mf)).reshape(n * t, h, w, mf)
-            i2 = act(conv(mf, 3, f"conv2_{i}")(jnp.concatenate([base_tiled, i1], axis=-1)))
+            # progressive fusion: sum_t conv10_t(I1_t) == conv10(concat_t I1_t)
+            wfuse = self.param(
+                f"conv10_{i}_kernel", _xavier_with_fans(*fuse_fans), (t, mf, mf)
+            ).astype(self.dtype)
+            bfuse = self.param(
+                f"conv10_{i}_bias", nn.initializers.zeros, (mf,)
+            ).astype(self.dtype)
+            i1_5d = i1.reshape(n, t, h, w, mf)
+            base = act(jnp.einsum("nthwc,tcd->nhwd", i1_5d, wfuse) + bfuse)  # [N,h,w,mf]
+            # conv2(concat(base, I1_i)) == conv2b(base) [once] + conv2f(I1_i)
+            base_part = conv(mf, 3, f"conv2b_{i}",
+                             init=_xavier_with_fans(*conv2_fans), bias=False)(base)
+            frame_part = conv(mf, 3, f"conv2f_{i}",
+                              init=_xavier_with_fans(*conv2_fans))(i1)
+            i2 = act(
+                frame_part.reshape(n, t, h, w, mf) + base_part[:, None]
+            ).reshape(n * t, h, w, mf)
             feat = feat + i2
 
         merge = feat.reshape(n, t, h, w, mf).transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)

@@ -1,0 +1,51 @@
+"""Host-side image IO.
+
+RGB channel order everywhere (the reference wraps cv2 with BGR<->RGB swaps,
+utils.py:362-372; we do the same so saved PNGs are byte-identical).
+PNG round-trips are uint8 with round-then-clip like the reference test
+paths (model/pfnl.py:255-257).
+"""
+
+import os
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAVE_CV2 = True
+except ImportError:  # pragma: no cover - cv2 is present in this image
+    from PIL import Image
+
+    _HAVE_CV2 = False
+
+
+def automkdir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+
+
+def imread(path: str) -> np.ndarray:
+    """uint8 RGB [H,W,3] (grayscale files come back [H,W])."""
+    if _HAVE_CV2:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 3:
+            img = img[:, :, [2, 1, 0]]
+        return img
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def imsave(path: str, img: np.ndarray) -> None:
+    img = np.squeeze(img)
+    if _HAVE_CV2:
+        if img.ndim == 3:
+            img = img[:, :, [2, 1, 0]]
+        cv2.imwrite(path, img)
+    else:
+        Image.fromarray(img).save(path)
+
+
+def to_uint8_img(x: np.ndarray) -> np.ndarray:
+    """float [0,1] -> uint8 with round-then-clip (model/pfnl.py:255-257)."""
+    return np.round(np.clip(x * 255.0, 0, 255)).astype(np.uint8)

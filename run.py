@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""pfnl_tpu CLI — the reference's edit-main.py-by-hand workflow
+(main.py:12-15) replaced by:
+
+    python run.py train  <model> [--train-list ...] [--steps N] ...
+    python run.py eval   <model> [--eval-list ...]
+    python run.py test   <model> --data <dataset_dir> [--start N] [--name X]
+    python run.py bench  [--model pfnl] [--hw 180x320] [--frames 7]
+
+<model> in {pfnl, vespcn, mcresnet, ltdvsr, drvsr, frvsr, duf}.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _common(p):
+    p.add_argument("model", choices=["pfnl", "vespcn", "mcresnet", "ltdvsr", "drvsr", "frvsr", "duf"])
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--scale", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--in-size", type=int, default=None)
+
+
+def _cfg_from_args(args, **extra):
+    from pfnl_tpu.config import preset
+
+    over = dict(extra)
+    for k in ("save_dir", "scale", "batch_size", "in_size"):
+        v = getattr(args, k, None)
+        if v is not None:
+            over[k] = v
+    return preset(args.model, **over)
+
+
+def cmd_train(args):
+    import jax
+    from pfnl_tpu.data.manifest import load_manifest
+    from pfnl_tpu.data.pipeline import TrainPipeline
+    from pfnl_tpu.eval.evaluator import Evaluator
+    from pfnl_tpu.train.trainer import Trainer
+
+    over = {}
+    if args.train_list:
+        over["train_list"] = args.train_list
+    if args.eval_list:
+        over["eval_list"] = args.eval_list
+    cfg = _cfg_from_args(args, **over)
+    tr = Trainer(cfg)
+    seqs = load_manifest(cfg.train_list, cfg.scale, need_blur=cfg.producer != "single")
+    pipe = TrainPipeline(
+        seqs, cfg.producer, cfg.num_frames, cfg.in_size, cfg.scale,
+        cfg.batch_size, seed=cfg.seed, num_threads=cfg.host_threads,
+        prefetch=cfg.prefetch,
+    )
+    eval_fn = None
+    if not args.no_eval:
+        ev = Evaluator(cfg, tr.model)
+
+        def eval_fn(state, step):
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            ev.run(variables, step, log_path=cfg.log_path)
+
+    tr.fit(pipe, max_steps=args.steps, eval_fn=eval_fn)
+    pipe.close()
+
+
+def cmd_eval(args):
+    from pfnl_tpu.eval.evaluator import Evaluator
+    from pfnl_tpu.train.trainer import Trainer
+
+    over = {}
+    if args.eval_list:
+        over["eval_list"] = args.eval_list
+    cfg = _cfg_from_args(args, **over)
+    tr = Trainer(cfg)
+    state = _restored_state(tr, cfg)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    Evaluator(cfg, tr.model).run(variables, int(state.step), log_path=cfg.log_path)
+
+
+def _restored_state(tr, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    shape = (1, cfg.num_frames, cfg.in_size, cfg.in_size, 3)
+    state = tr.init_state(jax.random.PRNGKey(0), np.zeros(shape, np.float32))
+    return tr.restore(state)
+
+
+def cmd_test(args):
+    from pfnl_tpu.infer.predictor import Predictor
+    from pfnl_tpu.train.trainer import Trainer
+
+    cfg = _cfg_from_args(args)
+    tr = Trainer(cfg)
+    state = _restored_state(tr, cfg)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    pred = Predictor(cfg, tr.model, variables)
+    pred.testvideos(args.data, start=args.start, name=args.name or cfg.model)
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main(model=args.model, hw=args.hw, frames=args.frames, steps=args.steps)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="run.py")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train")
+    _common(p)
+    p.add_argument("--train-list", default=None)
+    p.add_argument("--eval-list", default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--no-eval", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval")
+    _common(p)
+    p.add_argument("--eval-list", default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("test")
+    _common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--name", default=None)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("bench")
+    p.add_argument("--model", default="pfnl")
+    p.add_argument("--hw", default="180x320")
+    p.add_argument("--frames", type=int, default=7)
+    p.add_argument("--steps", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""End-to-end tests for the evaluator and the testvideo()/testvideos()
+inference API on synthetic data."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from pfnl_tpu.config import preset
+from pfnl_tpu.eval.evaluator import Evaluator
+from pfnl_tpu.eval.metrics import psnr_y_matlab, compute_ssim, psnr_from_mse
+from pfnl_tpu.infer.predictor import Predictor
+from pfnl_tpu.models.pfnl import PFNL
+from pfnl_tpu.models.vespcn import VESPCN
+from pfnl_tpu.models.frvsr import FRVSR
+from pfnl_tpu.utils.image_io import imread
+
+from tests.util_data import make_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evaldata")
+    # 20 frames so the center-15 window generator yields windows
+    filelist, seq_dirs = make_dataset(str(root), num_seqs=4, num_frames=20, hw=(48, 48))
+    return filelist, seq_dirs
+
+
+def _variables(model, shape, **kw):
+    x = np.zeros(shape, np.float32)
+    return model.init(jax.random.PRNGKey(0), x, **kw)
+
+
+def test_evaluator_pfnl_family(dataset, tmp_path):
+    filelist, _ = dataset
+    cfg = preset("pfnl", num_frames=3, eval_in_size=(8, 8), eval_batch_size=2,
+                 eval_list=filelist)
+    model = PFNL(num_frames=3, num_blocks=1)
+    variables = _variables(model, (2, 3, 8, 8, 3))
+    ev = Evaluator(cfg, model)
+    log = str(tmp_path / "pfnl.txt")
+    psnr, mse = ev.run(variables, step=0, log_path=log, print_fn=lambda *a: None)
+    assert psnr.shape == (1,) and np.isfinite(psnr).all()
+    line = open(log).read().strip()
+    assert line.startswith('{"Iter": 0 , "PSNR": ')  # reference log format
+
+
+def test_evaluator_vespcn_family(dataset, tmp_path):
+    filelist, _ = dataset
+    cfg = preset("vespcn", eval_in_size=(8, 8), eval_batch_size=2, eval_list=filelist)
+    model = VESPCN(num_frames=3)
+    variables = _variables(model, (2, 3, 8, 8, 3))
+    ev = Evaluator(cfg, model)
+    log = str(tmp_path / "vespcn.txt")
+    out = ev.run(variables, step=5, log_path=log, print_fn=lambda *a: None)
+    psnr, mse, ssim = out
+    assert np.isfinite(psnr).all() and np.isfinite(ssim).all()
+    assert '"SSIM":' in open(log).read()
+
+
+def test_predictor_pfnl(dataset):
+    filelist, seq_dirs = dataset
+    cfg = preset("pfnl", num_frames=3)
+    model = PFNL(num_frames=3, num_blocks=1)
+    variables = _variables(model, (1, 3, 8, 8, 3))
+    pred = Predictor(cfg, model, variables)
+    pred.test_video_truth(seq_dirs[0], name="out_pfnl", part=1000)
+    outs = sorted(glob.glob(os.path.join(seq_dirs[0], "out_pfnl", "*.png")))
+    n_truth = len(glob.glob(os.path.join(seq_dirs[0], "truth", "*.png")))
+    assert len(outs) == n_truth
+    img = imread(outs[0])
+    assert img.shape == (48, 48, 3)  # 12x12 LR -> x4
+
+
+def test_predictor_vespcn_rgb_reconstruction(dataset):
+    filelist, seq_dirs = dataset
+    cfg = preset("vespcn")
+    model = VESPCN(num_frames=3)
+    variables = _variables(model, (1, 3, 12, 12, 3))
+    pred = Predictor(cfg, model, variables)
+    pred.test_video_lr(seq_dirs[1], name="out_vespcn")
+    outs = sorted(glob.glob(os.path.join(seq_dirs[1], "out_vespcn", "*.png")))
+    assert len(outs) == 20
+    assert imread(outs[0]).shape == (48, 48, 3)  # RGB via CbCr upsampling
+
+
+def test_predictor_frvsr_streaming(dataset):
+    filelist, seq_dirs = dataset
+    cfg = preset("frvsr")
+    model = FRVSR(num_frames=3, mf=8, num_blocks=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 3, 12, 12, 3), np.float32)
+    )
+    pred = Predictor(cfg, model, variables)
+    pred.test_video_lr(seq_dirs[2], name="out_frvsr")
+    outs = sorted(glob.glob(os.path.join(seq_dirs[2], "out_frvsr", "*.png")))
+    assert len(outs) == 20
+    assert imread(outs[0]).shape == (48, 48, 3)
+
+
+def test_testvideos_iterates(dataset, tmp_path):
+    filelist, seq_dirs = dataset
+    root = os.path.dirname(seq_dirs[0])
+    cfg = preset("pfnl", num_frames=3)
+    model = PFNL(num_frames=3, num_blocks=1)
+    variables = _variables(model, (1, 3, 8, 8, 3))
+    pred = Predictor(cfg, model, variables)
+    pred.testvideos(root, start=len(seq_dirs) - 1, name="out_tv")
+    done = [d for d in seq_dirs if os.path.isdir(os.path.join(d, "out_tv"))]
+    assert len(done) == 1  # only sequences >= start processed
+
+
+def test_metrics_sanity(rng):
+    a = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    assert psnr_y_matlab(a, a) == float("inf")
+    b = np.clip(a.astype(int) + rng.integers(-3, 4, a.shape), 0, 255).astype(np.uint8)
+    p = psnr_y_matlab(a, b)
+    assert 30 < p < 60
+    s = compute_ssim(a[..., 0].astype(float), a[..., 0].astype(float), l=255)
+    assert s == pytest.approx(1.0)
+    np.testing.assert_allclose(psnr_from_mse(np.array([0.01])), [20.0])
