@@ -81,7 +81,11 @@ class NonLocalBlock(nn.Module):
         else:
             impl = self.impl
             if impl == "auto":
-                impl = "dense" if thetaf.shape[1] <= _DENSE_POSITION_LIMIT else "chunked"
+                if thetaf.shape[1] <= _DENSE_POSITION_LIMIT:
+                    impl = "dense"
+                else:
+                    # fused flash kernel on TPU; streaming-scan fallback elsewhere
+                    impl = "pallas" if jax.default_backend() == "tpu" else "chunked"
             if impl == "dense":
                 y = nonlocal_attention(thetaf, phif, gf, mode="softmax", stabilize=self.stabilize)
             elif impl == "chunked":
