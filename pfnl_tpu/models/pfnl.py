@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
+from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_block, pfrb_block_xla
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
 from pfnl_tpu.ops.resize import resize_bicubic
 
@@ -58,6 +59,7 @@ class PFNL(nn.Module):
     mf: int = 64
     num_blocks: int = 20
     nonlocal_impl: str = "auto"
+    pfrb_impl: str = "auto"  # "auto" | "pallas" | "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,31 +100,33 @@ class PFNL(nn.Module):
         bic = resize_bicubic(xc[:, t // 2], (h * self.scale, w * self.scale))
 
         # fans of the reference's concatenated kernels
+        conv1_fans = (9 * mf, 9 * mf)                 # 3x3 over [.., mf]
         fuse_fans = (t * mf, mf)                      # 1x1 over [.., t*mf]
         conv2_fans = (9 * 2 * mf, 9 * mf)             # 3x3 over [.., 2*mf]
 
-        for i in range(self.num_blocks):
-            i1 = act(conv(mf, 3, f"conv1_{i}")(feat))  # [N*t,h,w,mf]
-            # progressive fusion: sum_t conv10_t(I1_t) == conv10(concat_t I1_t)
-            wfuse = self.param(
-                f"conv10_{i}_kernel", _xavier_with_fans(*fuse_fans), (t, mf, mf)
-            ).astype(self.dtype)
-            bfuse = self.param(
-                f"conv10_{i}_bias", nn.initializers.zeros, (mf,)
-            ).astype(self.dtype)
-            i1_5d = i1.reshape(n, t, h, w, mf)
-            base = act(jnp.einsum("nthwc,tcd->nhwd", i1_5d, wfuse) + bfuse)  # [N,h,w,mf]
-            # conv2(concat(base, I1_i)) == conv2b(base) [once] + conv2f(I1_i)
-            base_part = conv(mf, 3, f"conv2b_{i}",
-                             init=_xavier_with_fans(*conv2_fans), bias=False)(base)
-            frame_part = conv(mf, 3, f"conv2f_{i}",
-                              init=_xavier_with_fans(*conv2_fans))(i1)
-            i2 = act(
-                frame_part.reshape(n, t, h, w, mf) + base_part[:, None]
-            ).reshape(n * t, h, w, mf)
-            feat = feat + i2
+        impl = self.pfrb_impl
+        if impl == "auto":
+            # the fused kernel currently exceeds the 16MB VMEM budget at
+            # full-width tiles (rework in progress) — default to XLA
+            impl = "xla"
+        blk = pfrb_block if impl == "pallas" else pfrb_block_xla
 
-        merge = feat.reshape(n, t, h, w, mf).transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
+        feat5 = feat.reshape(n, t, h, w, mf)
+        for i in range(self.num_blocks):
+            w1 = self.param(f"conv1_{i}_kernel", _xavier_with_fans(*conv1_fans),
+                            (3, 3, mf, mf))
+            b1 = self.param(f"conv1_{i}_bias", nn.initializers.zeros, (mf,))
+            wfuse = self.param(f"conv10_{i}_kernel", _xavier_with_fans(*fuse_fans),
+                               (t, mf, mf))
+            bfuse = self.param(f"conv10_{i}_bias", nn.initializers.zeros, (mf,))
+            w2f = self.param(f"conv2f_{i}_kernel", _xavier_with_fans(*conv2_fans),
+                             (3, 3, mf, mf))
+            w2b = self.param(f"conv2b_{i}_kernel", _xavier_with_fans(*conv2_fans),
+                             (3, 3, mf, mf))
+            b2 = self.param(f"conv2f_{i}_bias", nn.initializers.zeros, (mf,))
+            feat5 = blk(feat5, w1, b1, wfuse, bfuse, w2f, w2b, b2)
+
+        merge = feat5.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
         merge = act(conv(48, 3, "convmerge1")(merge))
         large1 = depth_to_space(merge, 2)
         out1 = conv(12, 3, "convmerge2")(large1)  # no activation (pfnl.py:53)

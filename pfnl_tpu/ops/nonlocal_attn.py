@@ -97,10 +97,13 @@ def nonlocal_attention_chunked(
         denom = denom * scale + jnp.sum(p, axis=-1)
         return (acc, denom, new_mx), None
 
+    # derive the init carry from the inputs (not constants) so the carry
+    # type matches under shard_map's varying-axis tracking
+    zero_q = theta32[..., 0] * 0.0  # [b, n]
     init = (
-        jnp.zeros((b, n, dv), jnp.float32),
-        jnp.zeros((b, n), jnp.float32),
-        jnp.full((b, n), -jnp.inf, jnp.float32),
+        zero_q[..., None] + jnp.zeros((1, 1, dv), jnp.float32),
+        zero_q,
+        zero_q - jnp.inf,
     )
     (acc, denom, _), _ = lax.scan(step, init, (phi_b, g_b, valid))
     return (acc / denom[..., None]).astype(g.dtype)
