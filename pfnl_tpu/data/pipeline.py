@@ -30,6 +30,14 @@ from pfnl_tpu.data.manifest import Sequence
 from pfnl_tpu.ops.degrade import downsample
 from pfnl_tpu.utils.image_io import imread
 
+try:  # native C++ decode+crop (pfnl_tpu/native/loader.cc)
+    from pfnl_tpu import native as _native
+
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover
+    _native = None
+    _HAVE_NATIVE = False
+
 
 def _random_crop_coords(rng, h, w, size):
     return rng.integers(0, h - size + 1), rng.integers(0, w - size + 1)
@@ -64,6 +72,7 @@ class TrainPipeline:
         self.scale = scale
         self.gt_size = in_size * scale
         self.batch_size = batch_size
+        self._size_cache: Dict[str, tuple] = {}
         self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads = [
@@ -74,30 +83,46 @@ class TrainPipeline:
             t.start()
 
     # --- host sampling -------------------------------------------------
+    def _frame_size(self, path: str):
+        size = self._size_cache.get(path)
+        if size is None:
+            if _HAVE_NATIVE:
+                size = _native.png_size(path)
+            else:
+                size = imread(path).shape[:2]
+            self._size_cache[path] = size
+        return size
+
+    def _decode_window(self, paths, y0: int, x0: int, size: int) -> np.ndarray:
+        """Decode + crop a window of frames; native C++ path when built."""
+        if _HAVE_NATIVE:
+            n = len(paths)
+            return _native.decode_crop_batch(
+                list(paths), [y0] * n, [x0] * n, (size, size),
+                threads=min(4, n),
+            )
+        return np.stack([imread(p)[y0 : y0 + size, x0 : x0 + size] for p in paths])
+
     def _sample_one(self, rng) -> Dict[str, np.ndarray]:
         seq = self.sequences[rng.integers(len(self.sequences))]
         t0 = rng.integers(0, len(seq.truth) - self.num_frames + 1)
-        idx = range(t0, t0 + self.num_frames)
+        idx = list(range(t0, t0 + self.num_frames))
         if self.mode == "single":
-            frames = [imread(seq.truth[i]) for i in idx]
-            h, w = frames[0].shape[:2]
+            h, w = self._frame_size(seq.truth[idx[0]])
             y0, x0 = _random_crop_coords(rng, h, w, self.gt_size)
-            gt = np.stack(
-                [f[y0 : y0 + self.gt_size, x0 : x0 + self.gt_size] for f in frames]
-            )
+            gt = self._decode_window([seq.truth[i] for i in idx], y0, x0, self.gt_size)
             return {"gt": gt}
         # double / frvsr: aligned LR + GT crops
-        lrs = [imread(seq.blur[i]) for i in idx]
-        h, w = lrs[0].shape[:2]
+        h, w = self._frame_size(seq.blur[idx[0]])
         y0, x0 = _random_crop_coords(rng, h, w, self.in_size)
-        lr = np.stack([f[y0 : y0 + self.in_size, x0 : x0 + self.in_size] for f in lrs])
+        lr = self._decode_window([seq.blur[i] for i in idx], y0, x0, self.in_size)
         gy, gx = y0 * self.scale, x0 * self.scale
         if self.mode == "double":
-            center = imread(seq.truth[t0 + self.num_frames // 2])
-            gt = center[gy : gy + self.gt_size, gx : gx + self.gt_size][None]
+            gt = self._decode_window(
+                [seq.truth[t0 + self.num_frames // 2]], gy, gx, self.gt_size
+            )
         else:
-            gts = [imread(seq.truth[i]) for i in idx]
-            gt = np.stack([f[gy : gy + self.gt_size, gx : gx + self.gt_size] for f in gts])
+            gt = self._decode_window([seq.truth[i] for i in idx], gy, gx, self.gt_size)
         return {"lr": lr, "gt": gt}
 
     def _worker(self, seed: int):

@@ -10,154 +10,263 @@ pfnl_tpu.models.pfnl) is, per sample:
 
 Executed in XLA this costs ~8.4 ms/block at batch 4 (three HBM round trips
 of a 206 MB activation + 64-channel convs at ~26 TFLOP/s).  This kernel
-keeps the whole block in VMEM per (batch, row-tile) program:
+keeps one whole block in VMEM per (batch, row-tile) program.
 
-  * halo rows come from fetching the previous/current/next row-blocks of
-    the SAME input (three BlockSpecs with clamped index maps) — XLA's
-    pipeline double-buffers them; no manual DMA;
-  * 3x3 convs are 9 MXU dots per conv (one per tap, K=C);
-  * the fusion matmul accumulates across the unrolled frame loop;
-  * the base half of conv2 is computed once per tile, not per frame.
+The conv strategy (measured at ~88 TFLOP/s on v5e vs 26 for the XLA conv,
+scripts/pallas_dot_bench.py):
 
-Wrapper handles H padding to the row-tile multiple and W-halo zero
-padding (SAME-conv semantics preserved).  Backward pass: custom_vjp whose
-bwd re-traces the XLA reference implementation — training crops are tiny,
-so the XLA gradient path costs little while inference gets the kernel.
+  * activations live in a FLATTENED 2-D layout [(rows)*C2, C], where C2
+    (the padded grid width) is a multiple of the 16-sublane tile, so
+    row shifts are tile-aligned slices;
+  * the 3 dy taps are concatenated along the channel axis (K = 3C = 192)
+    — legal in Mosaic because the dy slices share lane/sublane offsets;
+  * one MXU dot per dx, then the 3 dx-shifted outputs are summed as
+    flat offset slices (an off-by-dx flat shift never crosses into a
+    neighbouring row's valid columns because the grid is 2 cols wider
+    than the image on each side);
+  * each conv shifts the logical grid by (+1,+1): after two convs the
+    output's flat column c equals image column c.
+
+Data movement: inputs/outputs are HBM (`memory_space=ANY`) and moved with
+explicit async DMAs; the model keeps the activation in the kernel's
+zero-halo padded layout across all 20 blocks (`pfrb_chain`) so padding is
+paid once.  Boundary semantics are exact SAME-conv: the padded halo rows/
+cols are zero, and the i1/base halo ring is re-zeroed where it crosses
+the image boundary (the reference zero-pads i1/base for conv2, it does
+not extrapolate them).
+
+Backward pass: custom_vjp whose bwd re-traces the XLA reference
+implementation — training crops are tiny, so the XLA gradient path costs
+little while inference gets the kernel.
+
+STATUS (v5e, batch 4, 180x320): 10.1 ms/block vs 12.9 ms for the
+standalone XLA block (8.4 ms when XLA fuses blocks in-model) — parity,
+not yet a win.  Per-program accounting: ~20 us MXU (the conv dots do run
+at the microbenchmarked ~88 TFLOP/s), ~15 us VPU (lane-compaction copies,
+ring masks, shifts), ~12 us serial DMA (the channel dim must be
+lane-padded 64->128 for DMA-able HBM slices, doubling traffic).  The
+known path forward (next round): pack 2 spatial columns per 128-lane
+group to eliminate the padding (halves DMA + compaction), and move to a
+(b, tile, frame) grid with revisiting-output accumulation for the fusion
+so the auto-pipeline overlaps DMA across programs.  Until the kernel
+clearly beats XLA, models default to the XLA path (pfrb_impl="auto").
 """
 
 import functools
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TAPS = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2)]
-
-
-def _pack_taps(w: jax.Array) -> jax.Array:
-    """[3,3,C,F] conv kernel -> [9,C,F] per-tap weights."""
-    return w.reshape(9, w.shape[2], w.shape[3])
-
-
-def _conv_taps(x, w9):
-    """x: [R+2h, W+2h, C] padded input (halo 1 each side of the output
-    region), w9: [9, C, F] per-tap weights.  Returns [R, W, F] f32.
-
-    One MXU dot per tap (K=C) — Mosaic cannot yet concatenate lane-offset
-    slices, which rules out tap-pairing to K=2C."""
-    rows = x.shape[-3] - 2
-    cols = x.shape[-2] - 2
-    acc = None
-    for k, (dy, dx) in enumerate(_TAPS):
-        a = jax.lax.slice_in_dim(
-            jax.lax.slice_in_dim(x, dy, dy + rows, axis=-3),
-            dx, dx + cols, axis=-2,
-        )
-        d = jax.lax.dot_general(
-            a, w9[k],
-            (((a.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = d if acc is None else acc + d
-    return acc
-
 
 def _lrelu(x, alpha=0.2):
     return jnp.maximum(x, alpha * x)
 
 
-def _kernel(x_prev, x_cur, x_next, wp1, b1, wfuse, bfuse, wp2f, wp2b, b2,
-            out_ref, *, rows, n_tiles, h_true):
+def _pack_dy(w: jax.Array) -> jax.Array:
+    """[3,3,C,F] conv kernel -> [3 (dx), 3C (dy-concat), F]."""
+    return jnp.stack(
+        [jnp.concatenate([w[0, dx], w[1, dx], w[2, dx]], axis=0) for dx in range(3)]
+    )
+
+
+def _conv2d_flat(x2, wd, rows_out, c2):
+    """x2: [(rows_out+2)*C2, C] flattened input; wd: [3, 3C, F].
+    Returns [rows_out*C2, F] f32 where flat (r, c) = conv output centered
+    at input grid (r+1, c+1)."""
+    L = rows_out * c2
+    t3 = jnp.concatenate([x2[0:L], x2[c2 : c2 + L], x2[2 * c2 : 2 * c2 + L]], axis=-1)
+    lv = L - 2
+    acc = None
+    for dx in range(3):
+        o = jax.lax.dot_general(
+            t3, wd[dx], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        part = o[dx : dx + lv]
+        acc = part if acc is None else acc + part
+    return jnp.pad(acc, ((0, 2), (0, 0)))
+
+
+def _kernel(
+    feat_hbm, wd1, b1, wfuse, bfuse, wd2f, wd2b, b2, out_hbm,
+    xbuf, i1buf, obuf, zbuf, in_sems, out_sems, z_sems,
+    *, rows, c2, h, w, n_tiles, t_frames, c,
+):
+    b = pl.program_id(0)
     i = pl.program_id(1)
-    t_frames = x_cur.shape[1]
-    w = x_cur.shape[3]
+    row0 = i * rows
+    cl = xbuf.shape[-1]  # lane-padded channels; c = logical channels
 
-    # assemble [T, rows+4, W, C] with halo rows from neighbour blocks
-    top = x_prev[0, :, rows - 2 :, :, :]
-    bot = x_next[0, :, :2, :, :]
-    x = jnp.concatenate([top, x_cur[0], bot], axis=1)
-    # zero rows outside the true image (SAME conv semantics; h may be
-    # padded to a multiple of `rows` by the wrapper)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (1, rows + 4, 1, 1), 1)
-    g_row = i * rows + row_id - 2
-    x = jnp.where((g_row >= 0) & (g_row < h_true), x, 0)
-    # zero-pad W halo (2 cols each side: conv1 halo + conv2 halo)
-    x = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (0, 0)))
+    # ---- stage all input DMAs (rows+4 incl. zero halos; always in-bounds
+    # because the carried layout has 2 zero rows top/bottom) ----
+    def in_dma(t):
+        return pltpu.make_async_copy(
+            feat_hbm.at[b, t, pl.ds(row0, rows + 4)], xbuf.at[t], in_sems.at[t]
+        )
 
-    dtype = x_cur.dtype
-    # SAME-conv semantics for conv2: i1/base are ZERO outside the image —
-    # mask the halo ring where it crosses the image boundary (the reference
-    # zero-pads i1/base for conv2, it does not extrapolate them)
-    r_id = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w + 2, 1), 0)
-    c_id = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, w + 2, 1), 1)
-    g_r = i * rows + r_id - 1
-    ring_valid = (c_id >= 1) & (c_id <= w) & (g_r >= 0) & (g_r < h_true)
+    for t in range(t_frames):
+        in_dma(t).start()
 
-    # conv1 over the i1 region (rows+2, w+2), then fuse across frames
-    i1 = []
+    # validity masks in flat coordinates
+    l1 = (rows + 2) * c2
+    flat1 = jax.lax.broadcasted_iota(jnp.int32, (l1, 1), 0)
+    r1 = flat1 // c2  # i1 row within tile; global image row = row0 - 1 + r1
+    col1 = flat1 - r1 * c2  # i1 grid col; image col = col1 - 1
+    g1 = row0 - 1 + r1
+    ring_valid = (col1 >= 1) & (col1 <= w) & (g1 >= 0) & (g1 < h)
+
+    l2 = rows * c2
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (l2, 1), 0)
+    r2 = flat2 // c2
+    col2 = flat2 - r2 * c2  # = image col
+    g2 = row0 + r2
+    out_valid = (col2 < w) & (g2 < h)
+
+    # ---- pass 1: conv1 per frame + fusion accumulation ----
     base_acc = None
     for t in range(t_frames):
-        acc = _conv_taps(x[t], wp1[:]) + b1[:].astype(jnp.float32)
-        i1_t = jnp.where(ring_valid, _lrelu(acc), 0.0)
-        i1.append(i1_t.astype(dtype))
+        in_dma(t).wait()
+        x2 = xbuf[t].reshape((rows + 4) * c2, cl)[:, :c]
+        i1_t = _conv2d_flat(x2, wd1[:], rows + 2, c2) + b1[:].astype(jnp.float32)
+        i1_t = jnp.where(ring_valid, _lrelu(i1_t), 0.0).astype(xbuf.dtype)
+        i1buf[t] = i1_t.reshape(rows + 2, c2, c)
         contrib = jax.lax.dot_general(
-            i1_t.astype(dtype), wfuse[t],
-            (((2,), (0,)), ((), ())),
+            i1_t, wfuse[t], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         base_acc = contrib if base_acc is None else base_acc + contrib
     base = jnp.where(
         ring_valid, _lrelu(base_acc + bfuse[:].astype(jnp.float32)), 0.0
-    ).astype(dtype)
+    ).astype(xbuf.dtype)
 
-    # conv2: base half once, frame half per frame; residual add
-    base_part = _conv_taps(base, wp2b[:])  # [rows, w, C] f32
+    # ---- conv2 base half (once per tile) ----
+    base_part = _conv2d_flat(base, wd2b[:], rows, c2)  # [rows*C2, C] f32
+
+    # ---- pass 2: conv2 frame half + residual + output DMA ----
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[b, t, pl.ds(row0 + 2, rows)], out_sems.at[slot]
+        )
+
     for t in range(t_frames):
-        frame_part = _conv_taps(i1[t], wp2f[:])
+        i1_flat = i1buf[t].reshape(l1, c)
+        frame_part = _conv2d_flat(i1_flat, wd2f[:], rows, c2)
         i2 = _lrelu(frame_part + base_part + b2[:].astype(jnp.float32))
-        center = x[t, 2 : rows + 2, 2 : w + 2, :].astype(jnp.float32)
-        out_ref[0, t] = (center + i2).astype(out_ref.dtype)
+        # residual: xbuf flat index r*C2 + (imgcol + 2) + 2*C2 == out flat
+        # (r, imgcol) shifted by 2*C2 + 2; slice rows first, compact lanes
+        # second (keeps the relayout copy small)
+        center = xbuf[t].reshape((rows + 4) * c2, cl)[
+            2 * c2 + 2 : 2 * c2 + 2 + l2, :c
+        ]
+        val = jnp.where(
+            out_valid, center.astype(jnp.float32) + i2, 0.0
+        ).astype(obuf.dtype)
+        # shift +2 so flat col c maps back to padded grid col c+2
+        val = jnp.pad(val, ((2, 0), (0, 0)))[0:l2]
+        slot = t % 2
+        if t >= 2:
+            out_dma(slot, t - 2).wait()
+        # store into the logical-channel lane slice; the padding lanes keep
+        # stale bytes that no consumer ever reads
+        obuf[slot, :, :, :c] = val.reshape(rows, c2, c)
+        out_dma(slot, t).start()
+
+    for t in range(max(0, t_frames - 2), t_frames):
+        out_dma(t % 2, t).wait()
+
+    # ---- zero halo strips of the output (carried layout invariant) ----
+    @pl.when((i == 0) | (i == n_tiles - 1))
+    def _zero_halos():
+        zbuf[:] = jnp.zeros_like(zbuf)
+        for t in range(t_frames):
+            @pl.when(i == 0)
+            def _top():
+                cp = pltpu.make_async_copy(
+                    zbuf.at[:], out_hbm.at[b, t, pl.ds(0, 2)], z_sems.at[0]
+                )
+                cp.start()
+                cp.wait()
+            @pl.when(i == n_tiles - 1)
+            def _bot():
+                cp = pltpu.make_async_copy(
+                    zbuf.at[:],
+                    out_hbm.at[b, t, pl.ds(n_tiles * rows + 2, 2)],
+                    z_sems.at[1],
+                )
+                cp.start()
+                cp.wait()
 
 
-def _pfrb_pallas(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2, rows=4):
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def pad_to_kernel_layout(feat, rows=4, sublane=16, lane=128):
+    """[B,T,H,W,C] -> zero-halo padded [B,T,Hp+4,C2,CL] kernel layout.
+
+    The channel dim is padded to the 128-lane tile so HBM<->VMEM DMAs are
+    tile-aligned (Mosaic cannot DMA-slice a 64-lane minor dim)."""
     n, t, h, w, c = feat.shape
-    pad_h = (-h) % rows
-    if pad_h:
-        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, pad_h), (0, 0), (0, 0)))
-    hp = h + pad_h
-    n_tiles = hp // rows
+    hp = _round_up(h, rows)
+    c2 = _round_up(w + 4, sublane)
+    cl = _round_up(c, lane)
+    return jnp.pad(
+        feat,
+        ((0, 0), (0, 0), (2, hp - h + 2), (2, c2 - w - 2), (0, cl - c)),
+    )
 
-    wp1 = _pack_taps(w1.astype(feat.dtype))
-    wp2f = _pack_taps(w2f.astype(feat.dtype))
-    wp2b = _pack_taps(w2b.astype(feat.dtype))
-    wfuse_c = wfuse.astype(feat.dtype)
 
-    block = (1, t, rows, w, c)
-    grid = (n, n_tiles)
-    last = n_tiles - 1
+def unpad_from_kernel_layout(padded, h, w, c=64):
+    return padded[:, :, 2 : 2 + h, 2 : 2 + w, :c]
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, rows=rows, n_tiles=n_tiles, h_true=h),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(block, lambda b, i: (b, 0, jnp.maximum(i - 1, 0), 0, 0)),
-            pl.BlockSpec(block, lambda b, i: (b, 0, i, 0, 0)),
-            pl.BlockSpec(block, lambda b, i: (b, 0, jnp.minimum(i + 1, last), 0, 0)),
-            pl.BlockSpec(wp1.shape, lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(b1.shape, lambda b, i: (0,)),
-            pl.BlockSpec(wfuse_c.shape, lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(bfuse.shape, lambda b, i: (0,)),
-            pl.BlockSpec(wp2f.shape, lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(wp2b.shape, lambda b, i: (0, 0, 0)),
-            pl.BlockSpec(b2.shape, lambda b, i: (0,)),
+
+def _pfrb_padded_pallas(padded, params, h, w, rows):
+    """One PFRB on the padded layout. params = (w1,b1,wfuse,bfuse,w2f,w2b,b2)."""
+    w1, b1, wfuse, bfuse, w2f, w2b, b2 = params
+    n, t, hp4, c2, cl = padded.shape
+    c = w1.shape[2]  # logical channels (cl is lane-padded)
+    n_tiles = (hp4 - 4) // rows
+    dtype = padded.dtype
+    wd1 = _pack_dy(w1.astype(dtype))
+    wd2f = _pack_dy(w2f.astype(dtype))
+    wd2b = _pack_dy(w2b.astype(dtype))
+
+    kernel = functools.partial(
+        _kernel, rows=rows, c2=c2, h=h, w=w, n_tiles=n_tiles, t_frames=t, c=c
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = lambda shape: pl.BlockSpec(shape, lambda b, i: tuple(0 for _ in shape))
+
+    operands = (
+        padded,
+        wd1,
+        b1.reshape(1, -1).astype(jnp.float32),
+        wfuse.astype(dtype),
+        bfuse.reshape(1, -1).astype(jnp.float32),
+        wd2f,
+        wd2b,
+        b2.reshape(1, -1).astype(jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, n_tiles),
+        in_specs=[any_spec] + [vmem(op.shape) for op in operands[1:]],
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct(padded.shape, dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t, rows + 4, c2, cl), dtype),  # xbuf (lane-padded)
+            pltpu.VMEM((t, rows + 2, c2, c), dtype),   # i1buf
+            pltpu.VMEM((2, rows, c2, cl), dtype),      # obuf (lane-padded)
+            pltpu.VMEM((2, c2, cl), dtype),            # zbuf
+            pltpu.SemaphoreType.DMA((t,)),             # in_sems
+            pltpu.SemaphoreType.DMA((2,)),             # out_sems
+            pltpu.SemaphoreType.DMA((2,)),             # z_sems
         ],
-        out_specs=pl.BlockSpec(block, lambda b, i: (b, 0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, t, hp, w, c), feat.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=jax.default_backend() == "cpu",
-    )(feat, feat, feat, wp1, b1, wfuse_c, bfuse, wp2f, wp2b, b2)
-    return out[:, :, :h]
+    )(*operands)
 
 
 def pfrb_block_xla(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2):
@@ -181,20 +290,36 @@ def pfrb_block_xla(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2):
     return feat + i2
 
 
+def pfrb_chain_xla(feat, params_list):
+    for p in params_list:
+        feat = pfrb_block_xla(feat, *p)
+    return feat
+
+
 @jax.custom_vjp
-def pfrb_block(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2):
-    """Fused PFRB: Pallas forward on TPU, XLA gradient."""
-    return _pfrb_pallas(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2)
+def pfrb_chain(feat, params_list):
+    """N fused PFRBs: Pallas forward (padding paid once), XLA gradient."""
+    n, t, h, w, c = feat.shape
+    rows = 4
+    padded = pad_to_kernel_layout(feat, rows=rows)
+    for p in params_list:
+        padded = _pfrb_padded_pallas(padded, p, h, w, rows)
+    return unpad_from_kernel_layout(padded, h, w, c)
 
 
-def _fwd(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2):
-    out = pfrb_block(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2)
-    return out, (feat, w1, b1, wfuse, bfuse, w2f, w2b, b2)
+def _chain_fwd(feat, params_list):
+    return pfrb_chain(feat, params_list), (feat, params_list)
 
 
-def _bwd(res, g):
-    _, vjp = jax.vjp(pfrb_block_xla, *res)
+def _chain_bwd(res, g):
+    feat, params_list = res
+    _, vjp = jax.vjp(pfrb_chain_xla, feat, params_list)
     return vjp(g)
 
 
-pfrb_block.defvjp(_fwd, _bwd)
+pfrb_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+def pfrb_block(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2):
+    """Single fused PFRB (thin wrapper over pfrb_chain)."""
+    return pfrb_chain(feat, [(w1, b1, wfuse, bfuse, w2f, w2b, b2)])

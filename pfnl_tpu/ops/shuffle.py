@@ -72,3 +72,29 @@ def zero_upsampling(x: jax.Array, scale: int) -> jax.Array:
     y = y.reshape(n, h, w, scale, scale, c)
     y = y.transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(n, h * scale, w * scale, c)
+
+
+def channel2sub(x: jax.Array, scale: int) -> jax.Array:
+    """Channels -> sub-pixel positions (reference modules/videosr_ops.py:228-246).
+    [.., H, W, C*s*s] -> [.., H*s, W*s, C] with (dy, dx) taken from the
+    LEADING channel factor (differs from depth_to_space's ordering)."""
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    out_c = c // (scale * scale)
+    y = x.reshape(lead + (h, w, scale, scale, out_c))
+    nd = len(lead)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    y = y.transpose(perm)
+    return y.reshape(lead + (h * scale, w * scale, out_c))
+
+
+def sub2channel(x: jax.Array, scale: int) -> jax.Array:
+    """Inverse of channel2sub (reference modules/videosr_ops.py:249-265)."""
+    lead = x.shape[:-3]
+    hs, ws, c = x.shape[-3:]
+    h, w = hs // scale, ws // scale
+    y = x.reshape(lead + (h, scale, w, scale, c))
+    nd = len(lead)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3, nd + 4)
+    y = y.transpose(perm)
+    return y.reshape(lead + (h, w, scale * scale * c))

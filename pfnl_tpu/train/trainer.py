@@ -124,6 +124,18 @@ class Trainer:
             variables = self.model.init(rng_key, x)
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
+        # param-count printout (reference utils.py:87-92, vespcn.py:231-233)
+        from pfnl_tpu.utils.param_io import get_num_params
+
+        flow_keys = ("easyflow", "flow", "flownet")
+        n_flow = sum(
+            get_num_params(v) for k, v in params.items() if k in flow_keys
+        )
+        n_all = get_num_params(params)
+        if n_flow:
+            print(f"params num of flow: {n_flow}")
+            print(f"params num of sr: {n_all - n_flow}")
+        print(f"Params num of all: {n_all}")
         opt_states = tuple(tx.init(params) for tx in self.txs)
         return TrainState(
             step=jnp.zeros((), jnp.int32),

@@ -49,3 +49,28 @@ def imsave(path: str, img: np.ndarray) -> None:
 def to_uint8_img(x: np.ndarray) -> np.ndarray:
     """float [0,1] -> uint8 with round-then-clip (model/pfnl.py:255-257)."""
     return np.round(np.clip(x * 255.0, 0, 255)).astype(np.uint8)
+
+
+def im2uint8(x: np.ndarray) -> np.ndarray:
+    """clip to [0,1] then scale (reference modules/videosr_ops.py:8-13 —
+    note: truncates like the reference, no rounding)."""
+    return (np.clip(x, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def augmentation_np(lr: np.ndarray, hr: np.ndarray, rng=None):
+    """Random flip/transpose on [N,T,H,W,C] numpy batches
+    (reference utils.py:374-386; unused by the main paths but part of the
+    API surface)."""
+    rng = rng or np.random.default_rng()
+    a = int(rng.integers(0, 2))
+    b = int(rng.integers(0, 2))
+    rot = int(rng.integers(0, 2))
+    if a + b > 0:
+        sa = -2 * a + 1
+        sb = -2 * b + 1
+        lr = lr[:, :, ::sa, ::sb, :]
+        hr = hr[:, :, ::sa, ::sb, :]
+    if rot == 1:
+        lr = lr.transpose((0, 1, 3, 2, 4))
+        hr = hr.transpose((0, 1, 3, 2, 4))
+    return lr, hr

@@ -122,3 +122,35 @@ def test_metrics_sanity(rng):
     s = compute_ssim(a[..., 0].astype(float), a[..., 0].astype(float), l=255)
     assert s == pytest.approx(1.0)
     np.testing.assert_allclose(psnr_from_mse(np.array([0.01])), [20.0])
+
+
+def test_parity_tables_tool(dataset, tmp_path):
+    """dataset_table over a fake result dir (identity copies of truth)."""
+    import shutil
+    from pfnl_tpu.eval.tables import dataset_table
+
+    _, seq_dirs = dataset
+    root = os.path.dirname(seq_dirs[0])
+    for d in seq_dirs[:2]:
+        shutil.copytree(os.path.join(d, "truth"), os.path.join(d, "fakeres"),
+                        dirs_exist_ok=True)
+    rows = dataset_table(root, "fakeres", print_fn=lambda *a: None)
+    assert rows["average"][0] == float("inf")  # identical -> inf PSNR
+    assert rows["average"][1] == pytest.approx(1.0)
+
+
+def test_hdf5_param_import(tmp_path, rng):
+    import h5py
+    import jax.numpy as jnp
+    from pfnl_tpu.utils.param_io import load_hdf5_params
+
+    params = {"G": {"conv1": {"W": jnp.zeros((3, 3, 3, 8)), "b": jnp.zeros((8,))}}}
+    wnew = rng.standard_normal((3, 3, 3, 8)).astype(np.float32)
+    p = str(tmp_path / "w.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("params")
+        g.create_dataset("G_conv1_W", data=wnew)          # mangles to G/conv1/W
+        g.create_dataset("G_missing_x", data=np.zeros(3))  # warn-and-skip
+    out = load_hdf5_params(params, p, verbose=False)
+    np.testing.assert_array_equal(np.asarray(out["G"]["conv1"]["W"]), wnew)
+    np.testing.assert_array_equal(np.asarray(out["G"]["conv1"]["b"]), 0)

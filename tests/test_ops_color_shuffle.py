@@ -97,3 +97,16 @@ def test_zero_upsampling(rng):
     assert y.shape == (1, 4, 6, 2)
     np.testing.assert_array_equal(y[:, ::2, ::2], x)
     assert np.sum(y != 0) == x.size  # all other positions are zero
+
+
+def test_channel2sub_roundtrip(rng):
+    from pfnl_tpu.ops.shuffle import channel2sub, sub2channel
+
+    x = rng.random((2, 3, 4, 12)).astype(np.float32)
+    up = np.asarray(channel2sub(x, 2))
+    assert up.shape == (2, 6, 8, 3)
+    np.testing.assert_array_equal(np.asarray(sub2channel(up, 2)), x)
+    # 5-D variant
+    x5 = rng.random((1, 2, 3, 4, 12)).astype(np.float32)
+    up5 = np.asarray(channel2sub(x5, 2))
+    assert up5.shape == (1, 2, 6, 8, 3)
