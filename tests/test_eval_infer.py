@@ -154,3 +154,31 @@ def test_hdf5_param_import(tmp_path, rng):
     out = load_hdf5_params(params, p, verbose=False)
     np.testing.assert_array_equal(np.asarray(out["G"]["conv1"]["W"]), wnew)
     np.testing.assert_array_equal(np.asarray(out["G"]["conv1"]["b"]), 0)
+
+
+def test_evaluator_frvsr_family(dataset, tmp_path):
+    from pfnl_tpu.models.frvsr import FRVSR as FRVSRModel
+
+    filelist, _ = dataset
+    cfg = preset("frvsr", num_frames=4, eval_in_size=(8, 8), eval_batch_size=2,
+                 eval_list=filelist)
+    model = FRVSRModel(num_frames=4, mf=8, num_blocks=1)
+    variables = _variables(model, (2, 4, 8, 8, 3))
+    ev = Evaluator(cfg, model)
+    psnr, mse = ev.run(variables, step=0, print_fn=lambda *a: None)
+    assert psnr.shape == (4,)  # per-frame PSNR vector (frvsr.py:143)
+    assert np.isfinite(psnr).all()
+
+
+def test_evaluator_duf_family(dataset, tmp_path):
+    from pfnl_tpu.models.duf import DUF
+
+    filelist, _ = dataset
+    cfg = preset("duf", num_frames=7, eval_in_size=(8, 8), eval_batch_size=2,
+                 eval_list=filelist)
+    model = DUF(num_frames=7, layers=16)
+    x = np.zeros((2, 7, 8, 8, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, is_train=True)
+    ev = Evaluator(cfg, model)
+    psnr, mse = ev.run(variables, step=0, print_fn=lambda *a: None)
+    assert np.isfinite(psnr).all()
