@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
-from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_block, pfrb_block_xla
+from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain, pfrb_chain_xla
+from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
 from pfnl_tpu.ops.resize import resize_bicubic
 
@@ -106,12 +107,15 @@ class PFNL(nn.Module):
 
         impl = self.pfrb_impl
         if impl == "auto":
-            # the fused kernel currently exceeds the 16MB VMEM budget at
-            # full-width tiles (rework in progress) — default to XLA
-            impl = "xla"
-        blk = pfrb_block if impl == "pallas" else pfrb_block_xla
+            # two-kernel pipelined path on TPU; XLA elsewhere
+            impl = "pallas_split" if jax.default_backend() == "tpu" else "xla"
+        chain_fn = {
+            "xla": pfrb_chain_xla,
+            "pallas": pfrb_chain,          # single manual-DMA kernel (parked)
+            "pallas_split": pfrb_chain_split,
+        }[impl]
 
-        feat5 = feat.reshape(n, t, h, w, mf)
+        params_list = []
         for i in range(self.num_blocks):
             w1 = self.param(f"conv1_{i}_kernel", _xavier_with_fans(*conv1_fans),
                             (3, 3, mf, mf))
@@ -124,7 +128,8 @@ class PFNL(nn.Module):
             w2b = self.param(f"conv2b_{i}_kernel", _xavier_with_fans(*conv2_fans),
                              (3, 3, mf, mf))
             b2 = self.param(f"conv2f_{i}_bias", nn.initializers.zeros, (mf,))
-            feat5 = blk(feat5, w1, b1, wfuse, bfuse, w2f, w2b, b2)
+            params_list.append((w1, b1, wfuse, bfuse, w2f, w2b, b2))
+        feat5 = chain_fn(feat.reshape(n, t, h, w, mf), params_list)
 
         merge = feat5.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
         merge = act(conv(48, 3, "convmerge1")(merge))

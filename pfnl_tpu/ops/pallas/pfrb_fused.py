@@ -291,6 +291,10 @@ def pfrb_block_xla(feat, w1, b1, wfuse, bfuse, w2f, w2b, b2):
 
 
 def pfrb_chain_xla(feat, params_list):
+    """N PFRBs in XLA.  (A frame-major variant that avoids the fusion
+    einsum's internal transpose was measured SLOWER on v5e — XLA's loop of
+    T small GEMMs lost more than the transpose cost — so the layout is
+    kept batch-major.)"""
     for p in params_list:
         feat = pfrb_block_xla(feat, *p)
     return feat

@@ -1,0 +1,234 @@
+"""Fused PFRB as two auto-pipelined Pallas kernels (the fast path).
+
+Design (supersedes the manual-DMA single kernel in pfrb_fused.py, whose
+lane-padded DMAs doubled HBM traffic and serialized against compute):
+
+  Kernel A  grid (B, tiles, T) [T innermost]:
+      i1[b,t,tile] = ringmask(lrelu(conv3x3(feat, W1) + b1))
+      base[b,tile] accumulates sum_t i1_t @ Wfuse_t across the T grid steps
+      in a REVISITED output block (same block index for consecutive t), and
+      is finalized (bias + lrelu + ring mask) at t == T-1.
+  Kernel B  grid (B, tiles, T):
+      out = feat + lrelu(conv3x3(i1_t, W2f) + conv3x3(base, W2b) + b2)
+      conv3x3(base, ...) is computed once per (b, tile) at t == 0 into a
+      scratch that persists across the T grid steps.
+
+All operands move through BlockSpec pipelines (double-buffered, overlapped
+with compute); halo rows come from 2-row-unit fetches of the neighbouring
+blocks with clamped index maps, re-zeroed by global-row masks at the image
+boundary.  Convs use the flattened-2D scheme measured at ~88 TFLOP/s
+(scripts/pallas_dot_bench.py): dy-concat to K=3C, one dot per dx, flat
+dx-shifted adds.
+
+Carried activation layout: [B, T, Hp, C2, C] with the image at rows
+[0, H), cols [2, W+2), zeros elsewhere; Hp % rows == 0, C2 % 16 == 0.
+The model keeps this layout across all 20 blocks (pad once, unpad once).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pfnl_tpu.ops.pallas.pfrb_fused import (
+    _conv2d_flat,
+    _lrelu,
+    _pack_dy,
+    _round_up,
+    pfrb_block_xla,
+    pfrb_chain_xla,
+)
+
+
+def _masks(i, rows, c2, h, w):
+    """(ring_valid [rows*C2,1] for the i1/base grid, out_valid for the
+    output grid, row_valid [rows+2,1,1] for assembled conv inputs)."""
+    l = rows * c2
+    flat = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
+    r = flat // c2
+    col = flat - r * c2
+    g = i * rows + r
+    # i1 grid col c <-> image col c-1
+    ring_valid = (col >= 1) & (col <= w) & (g < h)
+    # out grid col c == image col c
+    out_valid = (col < w) & (g < h)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+    grow = i * rows - 1 + rr
+    row_valid = (grow >= 0) & (grow < h)
+    return ring_valid, out_valid, row_valid
+
+
+def _assemble(prev, cur, nxt, row_valid):
+    """prev/nxt: [.., 2, C2, C] 2-row units; cur: [.., rows, C2, C].
+    Returns [rows+2, C2, C] with boundary rows zeroed."""
+    x = jnp.concatenate([prev[-1:], cur, nxt[:1]], axis=0)
+    return jnp.where(row_valid, x, 0)
+
+
+def _kernel_a(prev_ref, cur_ref, next_ref, wd1, b1, wfuse, bfuse,
+              i1_ref, base_ref, *, rows, c2, h, w, t_frames):
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    c = cur_ref.shape[-1]
+    ring_valid, _, row_valid = _masks(i, rows, c2, h, w)
+
+    x = _assemble(prev_ref[0, 0], cur_ref[0, 0], next_ref[0, 0], row_valid)
+    x2 = x.reshape((rows + 2) * c2, c)
+    i1 = _conv2d_flat(x2, wd1[:], rows, c2) + b1[:].astype(jnp.float32)
+    i1 = jnp.where(ring_valid, _lrelu(i1), 0.0).astype(i1_ref.dtype)
+    i1_ref[0, 0] = i1.reshape(rows, c2, c)
+
+    # dynamic ref read of this frame's fusion weights (dynamic_slice on
+    # VALUES is not lowerable in Mosaic; ref indexing is)
+    contrib = jax.lax.dot_general(
+        i1, wfuse[t], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == 0)
+    def _init():
+        base_ref[0] = contrib.reshape(rows, c2, c).astype(base_ref.dtype)
+
+    @pl.when((t > 0) & (t < t_frames - 1))
+    def _acc():
+        base_ref[0] = (
+            base_ref[0].astype(jnp.float32) + contrib.reshape(rows, c2, c)
+        ).astype(base_ref.dtype)
+
+    @pl.when(t == t_frames - 1)
+    def _finalize():
+        acc = base_ref[0].astype(jnp.float32).reshape(rows * c2, c) + contrib
+        acc = acc + bfuse[:].astype(jnp.float32)
+        acc = jnp.where(ring_valid, _lrelu(acc), 0.0)
+        base_ref[0] = acc.reshape(rows, c2, c).astype(base_ref.dtype)
+
+
+def _kernel_b(i1p_ref, i1c_ref, i1n_ref, basep_ref, basec_ref, basen_ref,
+              feat_ref, wd2f, wd2b, b2, out_ref, bpart_ref,
+              *, rows, c2, h, w, t_frames):
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    c = i1c_ref.shape[-1]
+    ring_valid, out_valid, row_valid = _masks(i, rows, c2, h, w)
+    l2 = rows * c2
+
+    @pl.when(t == 0)
+    def _base_once():
+        basex = _assemble(basep_ref[0], basec_ref[0], basen_ref[0], row_valid)
+        bp = _conv2d_flat(basex.reshape((rows + 2) * c2, c), wd2b[:], rows, c2)
+        bpart_ref[:] = bp.astype(bpart_ref.dtype)
+
+    i1x = _assemble(i1p_ref[0, 0], i1c_ref[0, 0], i1n_ref[0, 0], row_valid)
+    frame_part = _conv2d_flat(i1x.reshape((rows + 2) * c2, c), wd2f[:], rows, c2)
+    i2 = _lrelu(
+        frame_part + bpart_ref[:].astype(jnp.float32) + b2[:].astype(jnp.float32)
+    )
+
+    feat_flat = feat_ref[0, 0].reshape(l2, c)
+    # feat grid col c+2 == image col c == out flat col c
+    center = jnp.pad(feat_flat, ((0, 2), (0, 0)))[2 : 2 + l2].astype(jnp.float32)
+    val = jnp.where(out_valid, center + i2, 0.0).astype(out_ref.dtype)
+    # shift +2: out flat col c -> padded grid col c+2
+    val = jnp.pad(val, ((2, 0), (0, 0)))[0:l2]
+    out_ref[0, 0] = val.reshape(rows, c2, c)
+
+
+def pad_to_split_layout(feat, rows=8, sublane=16):
+    """[B,T,H,W,C] -> [B,T,Hp,C2,C]; image at rows [0,H), cols [2,W+2)."""
+    n, t, h, w, c = feat.shape
+    hp = _round_up(h, rows)
+    c2 = _round_up(w + 4, sublane)
+    return jnp.pad(feat, ((0, 0), (0, 0), (0, hp - h), (2, c2 - w - 2), (0, 0)))
+
+
+def unpad_from_split_layout(padded, h, w):
+    return padded[:, :, :h, 2 : 2 + w, :]
+
+
+def _pfrb_split_pallas(padded, params, h, w, rows):
+    w1, b1, wfuse, bfuse, w2f, w2b, b2 = params
+    n, t, hp, c2, c = padded.shape
+    n_tiles = hp // rows
+    n_units = hp // 2
+    dtype = padded.dtype
+    wd1 = _pack_dy(w1.astype(dtype))
+    wd2f = _pack_dy(w2f.astype(dtype))
+    wd2b = _pack_dy(w2b.astype(dtype))
+    u = rows // 2  # 2-row units per tile
+
+    grid = (n, n_tiles, t)
+    cur5 = pl.BlockSpec((1, 1, rows, c2, c), lambda b, i, tt: (b, tt, i, 0, 0))
+    prev5 = pl.BlockSpec(
+        (1, 1, 2, c2, c), lambda b, i, tt: (b, tt, jnp.maximum(i * u - 1, 0), 0, 0)
+    )
+    next5 = pl.BlockSpec(
+        (1, 1, 2, c2, c),
+        lambda b, i, tt: (b, tt, jnp.minimum((i + 1) * u, n_units - 1), 0, 0),
+    )
+    cur4 = pl.BlockSpec((1, rows, c2, c), lambda b, i, tt: (b, i, 0, 0))
+    prev4 = pl.BlockSpec(
+        (1, 2, c2, c), lambda b, i, tt: (b, jnp.maximum(i * u - 1, 0), 0, 0)
+    )
+    next4 = pl.BlockSpec(
+        (1, 2, c2, c),
+        lambda b, i, tt: (b, jnp.minimum((i + 1) * u, n_units - 1), 0, 0),
+    )
+    wspec = lambda arr: pl.BlockSpec(arr.shape, lambda b, i, tt: (0,) * arr.ndim)
+
+    b1r = b1.reshape(1, -1).astype(jnp.float32)
+    bfr = bfuse.reshape(1, -1).astype(jnp.float32)
+    b2r = b2.reshape(1, -1).astype(jnp.float32)
+    wfuse_c = wfuse.astype(dtype)
+
+    interp = jax.default_backend() == "cpu"
+
+    i1, base = pl.pallas_call(
+        functools.partial(_kernel_a, rows=rows, c2=c2, h=h, w=w, t_frames=t),
+        grid=grid,
+        in_specs=[prev5, cur5, next5, wspec(wd1), wspec(b1r), wspec(wfuse_c),
+                  wspec(bfr)],
+        out_specs=(cur5, cur4),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, hp, c2, c), dtype),
+            jax.ShapeDtypeStruct((n, hp, c2, c), dtype),
+        ),
+        interpret=interp,
+    )(padded, padded, padded, wd1, b1r, wfuse_c, bfr)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_b, rows=rows, c2=c2, h=h, w=w, t_frames=t),
+        grid=grid,
+        in_specs=[prev5, cur5, next5, prev4, cur4, next4, cur5,
+                  wspec(wd2f), wspec(wd2b), wspec(b2r)],
+        out_specs=cur5,
+        out_shape=jax.ShapeDtypeStruct((n, t, hp, c2, c), dtype),
+        scratch_shapes=[pltpu.VMEM((rows * c2, c), dtype)],
+        interpret=interp,
+    )(i1, i1, i1, base, base, base, padded, wd2f, wd2b, b2r)
+    return out
+
+
+@jax.custom_vjp
+def pfrb_chain_split(feat, params_list):
+    """N fused PFRBs (two-kernel pipeline), XLA gradient."""
+    n, t, h, w, c = feat.shape
+    rows = 8
+    padded = pad_to_split_layout(feat, rows=rows)
+    for p in params_list:
+        padded = _pfrb_split_pallas(padded, p, h, w, rows)
+    return unpad_from_split_layout(padded, h, w)
+
+
+def _fwd(feat, params_list):
+    return pfrb_chain_split(feat, params_list), (feat, params_list)
+
+
+def _bwd(res, g):
+    feat, params_list = res
+    _, vjp = jax.vjp(pfrb_chain_xla, feat, params_list)
+    return vjp(g)
+
+
+pfrb_chain_split.defvjp(_fwd, _bwd)

@@ -33,3 +33,44 @@ def test_nonlocal_flash_large_logits(rng):
     assert np.all(np.isfinite(out))
     ref = np.asarray(nonlocal_attention(jnp.asarray(theta), jnp.asarray(phi), jnp.asarray(g)))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_pfrb_chains_match_xla(rng):
+    """Both fused PFRB implementations vs the XLA reference (interpret)."""
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain, pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
+
+    c, t = 64, 3
+    params = [
+        tuple(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.05
+            for s in [(3, 3, c, c), (c,), (t, c, c), (c,), (3, 3, c, c),
+                      (3, 3, c, c), (c,)]
+        )
+        for _ in range(2)
+    ]
+    feat = jnp.asarray(rng.standard_normal((1, t, 10, 18, c)).astype(np.float32)) * 0.1
+    ref = np.asarray(pfrb_chain_xla(feat, params))
+    np.testing.assert_allclose(np.asarray(pfrb_chain(feat, params)), ref, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pfrb_chain_split(feat, params)), ref, atol=2e-6)
+
+
+def test_pfrb_chain_gradient(rng):
+    import jax
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
+
+    c, t = 64, 2
+    params = [
+        tuple(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.05
+            for s in [(3, 3, c, c), (c,), (t, c, c), (c,), (3, 3, c, c),
+                      (3, 3, c, c), (c,)]
+        )
+    ]
+    feat = jnp.asarray(rng.standard_normal((1, t, 8, 16, c)).astype(np.float32)) * 0.1
+    g = jax.grad(lambda f: jnp.sum(pfrb_chain_split(f, params) ** 2))(feat)
+    gr = jax.grad(lambda f: jnp.sum(pfrb_chain_xla(f, params) ** 2))(feat)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
