@@ -51,10 +51,14 @@ def _clipped_windows(num_frames: int, t: int) -> np.ndarray:
 
 
 class Predictor:
-    def __init__(self, cfg: Config, model, variables):
+    def __init__(self, cfg: Config, model, variables, batch_windows: int = 4):
+        """batch_windows: minimum windows per device step for the
+        window-batched models (the reference's part=1000 implies batch-1;
+        batching ~doubles chip throughput — conscious perf deviation)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        self.batch_windows = batch_windows
         self._fwd = None
         self._degrade = jax.jit(lambda x: downsample_4d(x, scale=cfg.scale))
 
@@ -91,6 +95,7 @@ class Predictor:
         max_frame = lrs.shape[0]
         part = min(part, max_frame)
         num_once = max_frame // part + (0 if max_frame % part == 0 else 1)
+        num_once = min(max(num_once, self.batch_windows), max_frame)
         windows = _clipped_windows(max_frame, t)  # [F, T]
         fwd = self._forward()
 

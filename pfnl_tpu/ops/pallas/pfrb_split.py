@@ -68,38 +68,40 @@ def _assemble(prev, cur, nxt, row_valid):
 
 
 def _kernel_a(prev_ref, cur_ref, next_ref, wd1, b1, wfuse, bfuse,
-              i1_ref, base_ref, *, rows, c2, h, w, t_frames):
+              i1_ref, base_ref, *, rows, c2, h, w, n_tsteps, tb):
     i = pl.program_id(1)
-    t = pl.program_id(2)
+    ts = pl.program_id(2)  # frame-pair index; frames [ts*tb, ts*tb+tb)
     c = cur_ref.shape[-1]
     ring_valid, _, row_valid = _masks(i, rows, c2, h, w)
 
-    x = _assemble(prev_ref[0, 0], cur_ref[0, 0], next_ref[0, 0], row_valid)
-    x2 = x.reshape((rows + 2) * c2, c)
-    i1 = _conv2d_flat(x2, wd1[:], rows, c2) + b1[:].astype(jnp.float32)
-    i1 = jnp.where(ring_valid, _lrelu(i1), 0.0).astype(i1_ref.dtype)
-    i1_ref[0, 0] = i1.reshape(rows, c2, c)
+    contrib = None
+    for j in range(tb):
+        x = _assemble(prev_ref[0, j], cur_ref[0, j], next_ref[0, j], row_valid)
+        x2 = x.reshape((rows + 2) * c2, c)
+        i1 = _conv2d_flat(x2, wd1[:], rows, c2) + b1[:].astype(jnp.float32)
+        i1 = jnp.where(ring_valid, _lrelu(i1), 0.0).astype(i1_ref.dtype)
+        i1_ref[0, j] = i1.reshape(rows, c2, c)
+        # dynamic ref read of this frame's fusion weights (dynamic_slice on
+        # VALUES is not lowerable in Mosaic; ref indexing is)
+        cj = jax.lax.dot_general(
+            i1, wfuse[ts * tb + j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        contrib = cj if contrib is None else contrib + cj
 
-    # dynamic ref read of this frame's fusion weights (dynamic_slice on
-    # VALUES is not lowerable in Mosaic; ref indexing is)
-    contrib = jax.lax.dot_general(
-        i1, wfuse[t], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(t == 0)
+    @pl.when(ts == 0)
     def _init():
         base_ref[0] = contrib.reshape(rows, c2, c).astype(base_ref.dtype)
 
-    @pl.when((t > 0) & (t < t_frames - 1))
+    @pl.when(ts > 0)
     def _acc():
         base_ref[0] = (
             base_ref[0].astype(jnp.float32) + contrib.reshape(rows, c2, c)
         ).astype(base_ref.dtype)
 
-    @pl.when(t == t_frames - 1)
+    @pl.when(ts == n_tsteps - 1)
     def _finalize():
-        acc = base_ref[0].astype(jnp.float32).reshape(rows * c2, c) + contrib
+        acc = base_ref[0].astype(jnp.float32).reshape(rows * c2, c)
         acc = acc + bfuse[:].astype(jnp.float32)
         acc = jnp.where(ring_valid, _lrelu(acc), 0.0)
         base_ref[0] = acc.reshape(rows, c2, c).astype(base_ref.dtype)
@@ -107,32 +109,33 @@ def _kernel_a(prev_ref, cur_ref, next_ref, wd1, b1, wfuse, bfuse,
 
 def _kernel_b(i1p_ref, i1c_ref, i1n_ref, basep_ref, basec_ref, basen_ref,
               feat_ref, wd2f, wd2b, b2, out_ref, bpart_ref,
-              *, rows, c2, h, w, t_frames):
+              *, rows, c2, h, w, n_tsteps, tb):
     i = pl.program_id(1)
-    t = pl.program_id(2)
+    ts = pl.program_id(2)
     c = i1c_ref.shape[-1]
     ring_valid, out_valid, row_valid = _masks(i, rows, c2, h, w)
     l2 = rows * c2
 
-    @pl.when(t == 0)
+    @pl.when(ts == 0)
     def _base_once():
         basex = _assemble(basep_ref[0], basec_ref[0], basen_ref[0], row_valid)
         bp = _conv2d_flat(basex.reshape((rows + 2) * c2, c), wd2b[:], rows, c2)
         bpart_ref[:] = bp.astype(bpart_ref.dtype)
 
-    i1x = _assemble(i1p_ref[0, 0], i1c_ref[0, 0], i1n_ref[0, 0], row_valid)
-    frame_part = _conv2d_flat(i1x.reshape((rows + 2) * c2, c), wd2f[:], rows, c2)
-    i2 = _lrelu(
-        frame_part + bpart_ref[:].astype(jnp.float32) + b2[:].astype(jnp.float32)
-    )
-
-    feat_flat = feat_ref[0, 0].reshape(l2, c)
-    # feat grid col c+2 == image col c == out flat col c
-    center = jnp.pad(feat_flat, ((0, 2), (0, 0)))[2 : 2 + l2].astype(jnp.float32)
-    val = jnp.where(out_valid, center + i2, 0.0).astype(out_ref.dtype)
-    # shift +2: out flat col c -> padded grid col c+2
-    val = jnp.pad(val, ((2, 0), (0, 0)))[0:l2]
-    out_ref[0, 0] = val.reshape(rows, c2, c)
+    for j in range(tb):
+        i1x = _assemble(i1p_ref[0, j], i1c_ref[0, j], i1n_ref[0, j], row_valid)
+        frame_part = _conv2d_flat(i1x.reshape((rows + 2) * c2, c), wd2f[:], rows, c2)
+        i2 = _lrelu(
+            frame_part + bpart_ref[:].astype(jnp.float32)
+            + b2[:].astype(jnp.float32)
+        )
+        feat_flat = feat_ref[0, j].reshape(l2, c)
+        # feat grid col c+2 == image col c == out flat col c
+        center = jnp.pad(feat_flat, ((0, 2), (0, 0)))[2 : 2 + l2].astype(jnp.float32)
+        val = jnp.where(out_valid, center + i2, 0.0).astype(out_ref.dtype)
+        # shift +2: out flat col c -> padded grid col c+2
+        val = jnp.pad(val, ((2, 0), (0, 0)))[0:l2]
+        out_ref[0, j] = val.reshape(rows, c2, c)
 
 
 def pad_to_split_layout(feat, rows=8, sublane=16):
@@ -147,24 +150,17 @@ def unpad_from_split_layout(padded, h, w):
     return padded[:, :, :h, 2 : 2 + w, :]
 
 
-def _pfrb_split_pallas(padded, params, h, w, rows):
-    w1, b1, wfuse, bfuse, w2f, w2b, b2 = params
-    n, t, hp, c2, c = padded.shape
-    n_tiles = hp // rows
+def _specs(rows, tb, c2, c, hp):
+    """(cur5, prev5, next5, cur4, prev4, next4) BlockSpecs for a given
+    row-tile size."""
+    u = rows // 2
     n_units = hp // 2
-    dtype = padded.dtype
-    wd1 = _pack_dy(w1.astype(dtype))
-    wd2f = _pack_dy(w2f.astype(dtype))
-    wd2b = _pack_dy(w2b.astype(dtype))
-    u = rows // 2  # 2-row units per tile
-
-    grid = (n, n_tiles, t)
-    cur5 = pl.BlockSpec((1, 1, rows, c2, c), lambda b, i, tt: (b, tt, i, 0, 0))
+    cur5 = pl.BlockSpec((1, tb, rows, c2, c), lambda b, i, tt: (b, tt, i, 0, 0))
     prev5 = pl.BlockSpec(
-        (1, 1, 2, c2, c), lambda b, i, tt: (b, tt, jnp.maximum(i * u - 1, 0), 0, 0)
+        (1, tb, 2, c2, c), lambda b, i, tt: (b, tt, jnp.maximum(i * u - 1, 0), 0, 0)
     )
     next5 = pl.BlockSpec(
-        (1, 1, 2, c2, c),
+        (1, tb, 2, c2, c),
         lambda b, i, tt: (b, tt, jnp.minimum((i + 1) * u, n_units - 1), 0, 0),
     )
     cur4 = pl.BlockSpec((1, rows, c2, c), lambda b, i, tt: (b, i, 0, 0))
@@ -175,6 +171,19 @@ def _pfrb_split_pallas(padded, params, h, w, rows):
         (1, 2, c2, c),
         lambda b, i, tt: (b, jnp.minimum((i + 1) * u, n_units - 1), 0, 0),
     )
+    return cur5, prev5, next5, cur4, prev4, next4
+
+
+def _pfrb_split_pallas(padded, params, h, w, rows_a=8, rows_b=6, tb=2):
+    w1, b1, wfuse, bfuse, w2f, w2b, b2 = params
+    n, t, hp, c2, c = padded.shape
+    assert t % tb == 0, (t, tb)
+    assert hp % rows_a == 0 and hp % rows_b == 0, (hp, rows_a, rows_b)
+    n_tsteps = t // tb
+    dtype = padded.dtype
+    wd1 = _pack_dy(w1.astype(dtype))
+    wd2f = _pack_dy(w2f.astype(dtype))
+    wd2b = _pack_dy(w2b.astype(dtype))
     wspec = lambda arr: pl.BlockSpec(arr.shape, lambda b, i, tt: (0,) * arr.ndim)
 
     b1r = b1.reshape(1, -1).astype(jnp.float32)
@@ -184,9 +193,11 @@ def _pfrb_split_pallas(padded, params, h, w, rows):
 
     interp = jax.default_backend() == "cpu"
 
+    cur5, prev5, next5, cur4, _, _ = _specs(rows_a, tb, c2, c, hp)
     i1, base = pl.pallas_call(
-        functools.partial(_kernel_a, rows=rows, c2=c2, h=h, w=w, t_frames=t),
-        grid=grid,
+        functools.partial(_kernel_a, rows=rows_a, c2=c2, h=h, w=w,
+                          n_tsteps=n_tsteps, tb=tb),
+        grid=(n, hp // rows_a, n_tsteps),
         in_specs=[prev5, cur5, next5, wspec(wd1), wspec(b1r), wspec(wfuse_c),
                   wspec(bfr)],
         out_specs=(cur5, cur4),
@@ -197,14 +208,16 @@ def _pfrb_split_pallas(padded, params, h, w, rows):
         interpret=interp,
     )(padded, padded, padded, wd1, b1r, wfuse_c, bfr)
 
+    cur5b, prev5b, next5b, cur4b, prev4b, next4b = _specs(rows_b, tb, c2, c, hp)
     out = pl.pallas_call(
-        functools.partial(_kernel_b, rows=rows, c2=c2, h=h, w=w, t_frames=t),
-        grid=grid,
-        in_specs=[prev5, cur5, next5, prev4, cur4, next4, cur5,
+        functools.partial(_kernel_b, rows=rows_b, c2=c2, h=h, w=w,
+                          n_tsteps=n_tsteps, tb=tb),
+        grid=(n, hp // rows_b, n_tsteps),
+        in_specs=[prev5b, cur5b, next5b, prev4b, cur4b, next4b, cur5b,
                   wspec(wd2f), wspec(wd2b), wspec(b2r)],
-        out_specs=cur5,
+        out_specs=cur5b,
         out_shape=jax.ShapeDtypeStruct((n, t, hp, c2, c), dtype),
-        scratch_shapes=[pltpu.VMEM((rows * c2, c), dtype)],
+        scratch_shapes=[pltpu.VMEM((rows_b * c2, c), dtype)],
         interpret=interp,
     )(i1, i1, i1, base, base, base, padded, wd2f, wd2b, b2r)
     return out
@@ -212,13 +225,24 @@ def _pfrb_split_pallas(padded, params, h, w, rows):
 
 @jax.custom_vjp
 def pfrb_chain_split(feat, params_list):
-    """N fused PFRBs (two-kernel pipeline), XLA gradient."""
+    """N fused PFRBs (two-kernel pipeline), XLA gradient.
+
+    T is padded to a multiple of the per-program frame-pair size; padded
+    frames carry zero fusion weights so they never affect real frames and
+    are dropped at unpad."""
     n, t, h, w, c = feat.shape
-    rows = 8
-    padded = pad_to_split_layout(feat, rows=rows)
+    rows_a, rows_b, tb = 8, 6, 2
+    tp = _round_up(t, tb)
+    padded = pad_to_split_layout(feat, rows=rows_a * rows_b // 2)  # lcm(8,6)=24
+    if tp != t:
+        padded = jnp.pad(padded, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
     for p in params_list:
-        padded = _pfrb_split_pallas(padded, p, h, w, rows)
-    return unpad_from_split_layout(padded, h, w)
+        if tp != t:
+            w1, b1, wfuse, bfuse, w2f, w2b, b2 = p
+            wfuse = jnp.pad(wfuse, ((0, tp - t), (0, 0), (0, 0)))
+            p = (w1, b1, wfuse, bfuse, w2f, w2b, b2)
+        padded = _pfrb_split_pallas(padded, p, h, w, rows_a, rows_b, tb=tb)
+    return unpad_from_split_layout(padded[:, :t], h, w)
 
 
 def _fwd(feat, params_list):
