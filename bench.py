@@ -52,7 +52,7 @@ def _time_chained(fn, *args, repeats: int = 3):
 
 
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
-         steps: int = 20, batch: int = 1, dtype: str = "bfloat16"):
+         steps: int = 10, batch: int = 8, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -106,8 +106,8 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="pfnl")
     ap.add_argument("--hw", default="180x320")
     ap.add_argument("--frames", type=int, default=7)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     a = ap.parse_args()
     main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
