@@ -51,6 +51,62 @@ def _time_chained(fn, *args, repeats: int = 3):
     return max(float(np.median(times)) - floor, 1e-9)
 
 
+def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
+                in_size: int = 32, frames: int = 7):
+    """Secondary metric (manual use): training steps/sec on one chip —
+    the full jitted step incl. on-device augmentation + degradation."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pfnl_tpu.config import preset
+    from pfnl_tpu.models.pfnl import PFNL
+    from pfnl_tpu.train.trainer import Trainer
+    from pfnl_tpu.data.pipeline import device_augment_and_degrade
+
+    cfg = preset(model, in_size=in_size, batch_size=batch, num_frames=frames,
+                 reload=False)
+    tr = Trainer(cfg, workdir="/tmp/bench_train")
+    rng = np.random.default_rng(0)
+    gt = (rng.random((batch, frames, cfg.gt_size, cfg.gt_size, 3)) * 255).astype(
+        np.uint8
+    )
+    batch_h = {"gt": jnp.asarray(gt)}
+    lr0, _ = device_augment_and_degrade(batch_h, jax.random.PRNGKey(0), "single", 4)
+    state = tr.init_state(jax.random.PRNGKey(0), np.asarray(lr0))
+
+    # chain steps inside one scan (one launch) — per-launch relay RTT in
+    # this environment would otherwise dominate the measurement
+    traced = tr.traced_step_fn(0)
+
+    @jax.jit
+    def run_n(state, batch):
+        def body(s, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+            s, losses = traced(s, batch, key)
+            return s, losses["loss"]
+
+        return lax.scan(body, state, jnp.arange(steps))
+
+    state2, losses = run_n(state, batch_h)
+    loss = float(losses[-1])
+    t0 = time.perf_counter()
+    _, losses = run_n(state, batch_h)
+    loss = float(losses[-1])
+    dt = (time.perf_counter() - t0) / steps
+    print(
+        json.dumps(
+            {
+                "metric": f"train steps/sec ({model} b{batch} crop {in_size})",
+                "value": round(1.0 / dt, 3),
+                "unit": "steps/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+    return 1.0 / dt
+
+
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
          steps: int = 10, batch: int = 8, dtype: str = "bfloat16"):
     import jax
@@ -109,5 +165,10 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--train", action="store_true",
+                    help="measure training steps/sec instead of inference fps")
     a = ap.parse_args()
-    main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
+    if a.train:
+        train_bench(a.model, a.steps, batch=16, frames=a.frames)
+    else:
+        main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)

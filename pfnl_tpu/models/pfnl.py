@@ -107,8 +107,11 @@ class PFNL(nn.Module):
 
         impl = self.pfrb_impl
         if impl == "auto":
-            # two-kernel pipelined path on TPU; XLA elsewhere
-            impl = "pallas_split" if jax.default_backend() == "tpu" else "xla"
+            # two-kernel pipelined path on TPU for large frames; XLA for
+            # small (training-crop) spatial sizes where per-program
+            # overheads dominate, and everywhere off-TPU
+            big = h * w >= 96 * 96
+            impl = "pallas_split" if (jax.default_backend() == "tpu" and big) else "xla"
         chain_fn = {
             "xla": pfrb_chain_xla,
             "pallas": pfrb_chain,          # single manual-DMA kernel (parked)

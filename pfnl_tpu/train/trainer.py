@@ -196,6 +196,11 @@ class Trainer:
             self._step_fns[stage] = self._make_step(stage)
         return self._step_fns[stage]
 
+    def traced_step_fn(self, stage: int):
+        """The un-jitted step function — for embedding in outer jitted
+        loops (e.g. lax.scan over many steps)."""
+        return self.step_fn(stage).__wrapped__
+
     # --- checkpointing --------------------------------------------------
     @property
     def ckpt_mgr(self):
