@@ -8,7 +8,7 @@ is a newline-separated list of sequence directories; each directory holds
 import dataclasses
 import glob
 import os
-from typing import List, Optional
+from typing import List
 
 
 @dataclasses.dataclass

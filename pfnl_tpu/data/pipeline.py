@@ -20,7 +20,7 @@ Producer modes mirror the reference's three input producers:
 
 import queue
 import threading
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax

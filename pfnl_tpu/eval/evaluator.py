@@ -19,7 +19,6 @@ Families:
   duf     LR windows + center GT, RGB mse, is_train=False (dufvsr.py:70-131)
 """
 
-import json
 from typing import Callable, List, Optional
 
 import numpy as np

@@ -10,7 +10,7 @@ PSNR/SSIM in the README's table layout.
 
 import glob
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

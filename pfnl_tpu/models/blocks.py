@@ -1,7 +1,5 @@
 """Shared model building blocks."""
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -19,7 +19,7 @@ static Python bool so train/eval trace separately (the reference used a
 tf.cond placeholder).
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -53,7 +53,6 @@ clearly beats XLA, models default to the XLA path (pfrb_impl="auto").
 """
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

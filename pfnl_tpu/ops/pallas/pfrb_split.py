@@ -37,7 +37,6 @@ from pfnl_tpu.ops.pallas.pfrb_fused import (
     _lrelu,
     _pack_dy,
     _round_up,
-    pfrb_block_xla,
     pfrb_chain_xla,
 )
 

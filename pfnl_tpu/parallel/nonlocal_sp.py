@@ -12,8 +12,7 @@ flash attention locally on its query slice.
 """
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from pfnl_tpu.ops.nonlocal_attn import nonlocal_attention, nonlocal_attention_chunked

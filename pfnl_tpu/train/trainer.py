@@ -19,8 +19,6 @@ degradation, fwd/bwd, Adam update — is ONE jitted function with donated
 state; there is no per-step host round trip of the batch.
 """
 
-import functools
-import json
 import os
 import time
 from typing import Any, Callable, Dict, Optional
@@ -30,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.training import orbax_utils
 import orbax.checkpoint as ocp
 
 from pfnl_tpu.config import Config

@@ -7,7 +7,7 @@ import the original VSR-DUF weights.  Here the same mangling produces
 flattened paths; matching leaves are replaced (shapes must agree).
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

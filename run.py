@@ -22,6 +22,8 @@ def _common(p):
     p.add_argument("--scale", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--in-size", type=int, default=None)
+    p.add_argument("--eval-in-size", default=None,
+                   help="HxW of eval crops at LR, e.g. 128x240")
 
 
 def _cfg_from_args(args, **extra):
@@ -32,6 +34,10 @@ def _cfg_from_args(args, **extra):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v
+    eis = getattr(args, "eval_in_size", None)
+    if eis:
+        h, w = eis.split("x")
+        over["eval_in_size"] = (int(h), int(w))
     return preset(args.model, **over)
 
 
@@ -65,7 +71,7 @@ def cmd_train(args):
                 variables["batch_stats"] = state.batch_stats
             ev.run(variables, step, log_path=cfg.log_path)
 
-    tr.fit(pipe, max_steps=args.steps, eval_fn=eval_fn)
+    tr.fit(pipe, max_steps=args.steps, eval_fn=eval_fn, save_every=args.save_every)
     pipe.close()
 
 
@@ -124,6 +130,7 @@ def main(argv=None):
     p.add_argument("--eval-list", default=None)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--save-every", type=int, default=500)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval")

@@ -182,3 +182,20 @@ def test_evaluator_duf_family(dataset, tmp_path):
     ev = Evaluator(cfg, model)
     psnr, mse = ev.run(variables, step=0, print_fn=lambda *a: None)
     assert np.isfinite(psnr).all()
+
+
+def test_predictor_duf(dataset):
+    """DUF takes the is_train flag through the window-batched path."""
+    from pfnl_tpu.models.duf import DUF
+
+    _, seq_dirs = dataset
+    cfg = preset("duf", num_frames=7)
+    model = DUF(num_frames=7, layers=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 7, 8, 8, 3), np.float32), is_train=True
+    )
+    pred = Predictor(cfg, model, variables)
+    pred.test_video_lr(seq_dirs[3], name="out_duf", part=1000)
+    outs = sorted(glob.glob(os.path.join(seq_dirs[3], "out_duf", "*.png")))
+    assert len(outs) == 20
+    assert imread(outs[0]).shape == (48, 48, 3)
