@@ -49,13 +49,15 @@ class NonLocalBlock(nn.Module):
     stabilize: bool = True
     impl: str = "auto"
     chunk_block: int = 1024
+    dtype: jnp.dtype = None  # None = promote (f32); pass bf16 for throughput
 
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
         assert self.nltype in (0, 1, 2), f"unsupported nltype {self.nltype}"
         conv = lambda feats, name: nn.Conv(
-            feats, (1, 1), padding="SAME", kernel_init=xavier_uniform(), name=name
+            feats, (1, 1), padding="SAME", kernel_init=xavier_uniform(),
+            dtype=self.dtype, name=name,
         )
 
         g = conv(self.out_channels, "g")(x)

@@ -89,6 +89,7 @@ class PFNL(nn.Module):
             sub_sample=1,
             nltype=1,
             impl=self.nonlocal_impl,
+            dtype=self.dtype,
             name="nlblock_0",
         )(inp1)
         inp1 = depth_to_space(inp1, 2)

@@ -204,6 +204,9 @@ def _pfrb_split_pallas(padded, params, h, w, rows_a=8, rows_b=6, tb=2):
             jax.ShapeDtypeStruct((n, t, hp, c2, c), dtype),
             jax.ShapeDtypeStruct((n, hp, c2, c), dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interp,
     )(padded, padded, padded, wd1, b1r, wfuse_c, bfr)
 
@@ -217,6 +220,9 @@ def _pfrb_split_pallas(padded, params, h, w, rows_a=8, rows_b=6, tb=2):
         out_specs=cur5b,
         out_shape=jax.ShapeDtypeStruct((n, t, hp, c2, c), dtype),
         scratch_shapes=[pltpu.VMEM((rows_b * c2, c), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interp,
     )(i1, i1, i1, base, base, base, padded, wd2f, wd2b, b2r)
     return out
@@ -230,9 +236,9 @@ def pfrb_chain_split(feat, params_list):
     frames carry zero fusion weights so they never affect real frames and
     are dropped at unpad."""
     n, t, h, w, c = feat.shape
-    rows_a, rows_b, tb = 8, 6, 2
+    rows_a, rows_b, tb = 16, 12, 2
     tp = _round_up(t, tb)
-    padded = pad_to_split_layout(feat, rows=rows_a * rows_b // 2)  # lcm(8,6)=24
+    padded = pad_to_split_layout(feat, rows=48)  # lcm(16,12)
     if tp != t:
         padded = jnp.pad(padded, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
     for p in params_list:

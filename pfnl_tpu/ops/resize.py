@@ -68,9 +68,12 @@ def _resize_matrix(n_in: int, n_out: int, method: str, mapping: str) -> np.ndarr
 def _apply_separable(x: jax.Array, out_h: int, out_w: int, method: str, mapping: str) -> jax.Array:
     n, h, w, c = x.shape
     dtype = x.dtype
-    wh = jnp.asarray(_resize_matrix(h, out_h, method, mapping), jnp.float32)
-    ww = jnp.asarray(_resize_matrix(w, out_w, method, mapping), jnp.float32)
-    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(jnp.float32))
+    # bf16 inputs stay bf16 through the resampling matmuls (half the HBM
+    # traffic of the big upscaled intermediates); everything else uses f32
+    compute = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    wh = jnp.asarray(_resize_matrix(h, out_h, method, mapping), compute)
+    ww = jnp.asarray(_resize_matrix(w, out_w, method, mapping), compute)
+    y = jnp.einsum("oh,nhwc->nowc", wh, x.astype(compute))
     y = jnp.einsum("pw,nowc->nopc", ww, y)
     return y.astype(dtype)
 
