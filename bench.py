@@ -108,7 +108,7 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
 
 
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
-         steps: int = 10, batch: int = 8, dtype: str = "bfloat16"):
+         steps: int = 10, batch: int = 16, dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -163,7 +163,7 @@ if __name__ == "__main__":
     ap.add_argument("--hw", default="180x320")
     ap.add_argument("--frames", type=int, default=7)
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference fps")

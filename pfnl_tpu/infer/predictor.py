@@ -92,6 +92,13 @@ class Predictor:
     def _run_windows(self, lrs: np.ndarray, save_path: str, part: int):
         cfg = self.cfg
         t = cfg.num_frames
+        # pad LR frames to an even size (PFNL's space_to_depth needs it;
+        # the reference simply crashes on odd sizes) and crop the HR output
+        h0, w0 = lrs.shape[1], lrs.shape[2]
+        padh, padw = (-h0) % 2, (-w0) % 2
+        if padh or padw:
+            lrs = np.pad(lrs, [[0, 0], [0, padh], [0, padw], [0, 0]], "edge")
+        out_h, out_w = h0 * cfg.scale, w0 * cfg.scale
         max_frame = lrs.shape[0]
         part = min(part, max_frame)
         num_once = max_frame // part + (0 if max_frame % part == 0 else 1)
@@ -116,7 +123,7 @@ class Predictor:
             for j in range(n_valid):
                 imsave(
                     os.path.join(save_path, f"{i * num_once + j:0>4}.png"),
-                    to_uint8_img(sr[j][0]),
+                    to_uint8_img(sr[j][0][:out_h, :out_w]),
                 )
         all_time = np.array(all_time)
         if max_frame > 0:

@@ -199,3 +199,25 @@ def test_predictor_duf(dataset):
     outs = sorted(glob.glob(os.path.join(seq_dirs[3], "out_duf", "*.png")))
     assert len(outs) == 20
     assert imread(outs[0]).shape == (48, 48, 3)
+
+
+def test_predictor_odd_size(tmp_path):
+    """Odd-sized LR frames are edge-padded (the reference crashes here)."""
+    from pfnl_tpu.utils.image_io import imsave as _imsave
+    import numpy as _np
+
+    d = tmp_path / "oddseq"
+    (d / "blur4").mkdir(parents=True)
+    (d / "truth").mkdir()
+    rng = _np.random.default_rng(0)
+    for t in range(6):
+        _imsave(str(d / "blur4" / f"{t:04d}.png"),
+                (rng.random((11, 13, 3)) * 255).astype(_np.uint8))
+    cfg = preset("pfnl", num_frames=3)
+    model = PFNL(num_frames=3, num_blocks=1)
+    variables = _variables(model, (1, 3, 12, 14, 3))
+    pred = Predictor(cfg, model, variables, batch_windows=2)
+    pred.test_video_lr(str(d), name="out_odd")
+    outs = sorted(glob.glob(os.path.join(str(d), "out_odd", "*.png")))
+    assert len(outs) == 6
+    assert imread(outs[0]).shape == (44, 52, 3)  # 11x13 * 4
