@@ -236,9 +236,9 @@ def pfrb_chain_split(feat, params_list):
     frames carry zero fusion weights so they never affect real frames and
     are dropped at unpad."""
     n, t, h, w, c = feat.shape
-    rows_a, rows_b, tb = 16, 12, 4
+    rows_a, rows_b, tb = 16, 16, 4
     tp = _round_up(t, tb)
-    padded = pad_to_split_layout(feat, rows=48)  # lcm(16,12)
+    padded = pad_to_split_layout(feat, rows=16)  # lcm(16,16)
     if tp != t:
         padded = jnp.pad(padded, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
     for p in params_list:
