@@ -167,8 +167,18 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference fps")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
     a = ap.parse_args()
-    if a.train:
+    if a.profile:
+        import jax
+
+        with jax.profiler.trace(a.profile):
+            if a.train:
+                train_bench(a.model, a.steps, batch=16, frames=a.frames)
+            else:
+                main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
+    elif a.train:
         train_bench(a.model, a.steps, batch=16, frames=a.frames)
     else:
         main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
