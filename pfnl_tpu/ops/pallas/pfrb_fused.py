@@ -88,6 +88,38 @@ def _conv2d_flat(x2, wd, rows_out, c2):
     return jnp.pad(acc, ((0, 2), (0, 0)))
 
 
+def _pack_dydx(w: jax.Array) -> jax.Array:
+    """[3,3,C,F] conv kernel -> [3C, 3F]: rows are the dy-concat of the
+    input channels, column group dx holds that dx's kernel.  Enables the
+    whole 3x3 conv as ONE MXU dot (N=3F) — measured 114 vs 73 TFLOP/s for
+    the 3-dot N=F scheme (scripts/conv_variants_bench.py)."""
+    return jnp.concatenate(
+        [jnp.concatenate([w[0, dx], w[1, dx], w[2, dx]], 0) for dx in range(3)],
+        axis=1,
+    )
+
+
+def _conv2d_flat_wcat(x2, wdd, rows_out, c2):
+    """Same contract as _conv2d_flat but wdd: [3C, 3F] (from _pack_dydx)
+    and ONE dot; the dx-shifted adds are sublane rotates (pltpu.roll).
+
+    CAVEAT: the last 2 flat rows of the result hold rotated-in garbage
+    (instead of the zeros _conv2d_flat pads).  Those flat positions are
+    the final 2 columns of the tile's last row, which lie outside every
+    image/ring mask (c2 >= w + 4), so all callers mask them anyway."""
+    L = rows_out * c2
+    t3 = jnp.concatenate([x2[0:L], x2[c2 : c2 + L], x2[2 * c2 : 2 * c2 + L]], axis=-1)
+    o = jax.lax.dot_general(
+        t3, wdd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    f = wdd.shape[-1] // 3
+    return (
+        o[:, 0:f]
+        + pltpu.roll(o[:, f : 2 * f], L - 1, 0)
+        + pltpu.roll(o[:, 2 * f : 3 * f], L - 2, 0)
+    )
+
+
 def _kernel(
     feat_hbm, wd1, b1, wfuse, bfuse, wd2f, wd2b, b2, out_hbm,
     xbuf, i1buf, obuf, zbuf, in_sems, out_sems, z_sems,

@@ -33,9 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pfnl_tpu.ops.pallas.pfrb_fused import (
-    _conv2d_flat,
+    _conv2d_flat_wcat,
     _lrelu,
-    _pack_dy,
+    _pack_dydx,
     _round_up,
     pfrb_chain_xla,
 )
@@ -73,20 +73,22 @@ def _kernel_a(prev_ref, cur_ref, next_ref, wd1, b1, wfuse, bfuse,
     c = cur_ref.shape[-1]
     ring_valid, _, row_valid = _masks(i, rows, c2, h, w)
 
-    contrib = None
+    i1s = []
     for j in range(tb):
         x = _assemble(prev_ref[0, j], cur_ref[0, j], next_ref[0, j], row_valid)
         x2 = x.reshape((rows + 2) * c2, c)
-        i1 = _conv2d_flat(x2, wd1[:], rows, c2) + b1[:].astype(jnp.float32)
+        i1 = _conv2d_flat_wcat(x2, wd1[:], rows, c2) + b1[:].astype(jnp.float32)
         i1 = jnp.where(ring_valid, _lrelu(i1), 0.0).astype(i1_ref.dtype)
         i1_ref[0, j] = i1.reshape(rows, c2, c)
-        # dynamic ref read of this frame's fusion weights (dynamic_slice on
-        # VALUES is not lowerable in Mosaic; ref indexing is)
-        cj = jax.lax.dot_general(
-            i1, wfuse[ts * tb + j], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        contrib = cj if contrib is None else contrib + cj
+        i1s.append(i1)
+    # fusion contributions of this frame group as ONE K = tb*C dot (the
+    # per-frame K=64 dots underutilize the MXU); wfuse is laid out
+    # [n_tsteps, tb*C, C] so the frame group's weights are one ref row
+    cat = jnp.concatenate(i1s, axis=-1)
+    contrib = jax.lax.dot_general(
+        cat, wfuse[ts], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(ts == 0)
     def _init():
@@ -118,22 +120,27 @@ def _kernel_b(i1p_ref, i1c_ref, i1n_ref, basep_ref, basec_ref, basen_ref,
     @pl.when(ts == 0)
     def _base_once():
         basex = _assemble(basep_ref[0], basec_ref[0], basen_ref[0], row_valid)
-        bp = _conv2d_flat(basex.reshape((rows + 2) * c2, c), wd2b[:], rows, c2)
+        bp = _conv2d_flat_wcat(basex.reshape((rows + 2) * c2, c), wd2b[:], rows, c2)
         bpart_ref[:] = bp.astype(bpart_ref.dtype)
 
     for j in range(tb):
         i1x = _assemble(i1p_ref[0, j], i1c_ref[0, j], i1n_ref[0, j], row_valid)
-        frame_part = _conv2d_flat(i1x.reshape((rows + 2) * c2, c), wd2f[:], rows, c2)
+        frame_part = _conv2d_flat_wcat(i1x.reshape((rows + 2) * c2, c), wd2f[:], rows, c2)
         i2 = _lrelu(
             frame_part + bpart_ref[:].astype(jnp.float32)
             + b2[:].astype(jnp.float32)
         )
         feat_flat = feat_ref[0, j].reshape(l2, c)
-        # feat grid col c+2 == image col c == out flat col c
-        center = jnp.pad(feat_flat, ((0, 2), (0, 0)))[2 : 2 + l2].astype(jnp.float32)
-        val = jnp.where(out_valid, center + i2, 0.0).astype(out_ref.dtype)
-        # shift +2: out flat col c -> padded grid col c+2
-        val = jnp.pad(val, ((2, 0), (0, 0)))[0:l2]
+        # feat grid col c+2 == image col c == out flat col c.  The shift is
+        # a sublane ROTATE (cheap) rather than a pad+slice relayout: the 2
+        # wrapped-in tail values are feat grid cols 0/1 of the tile's first
+        # row — zeros by the carried-layout invariant, and masked anyway.
+        center = pltpu.roll(feat_flat.astype(jnp.float32), l2 - 2, 0)
+        val = jnp.where(out_valid, center + i2, 0.0)
+        # shift +2 back: out flat col c -> padded grid col c+2; the wrapped
+        # head values are val's masked (zero) tail — exact.  (Mosaic only
+        # rotates 32-bit data, so roll f32 and cast after.)
+        val = pltpu.roll(val, 2, 0).astype(out_ref.dtype)
         out_ref[0, j] = val.reshape(rows, c2, c)
 
 
@@ -180,15 +187,16 @@ def _pfrb_split_pallas(padded, params, h, w, rows_a=8, rows_b=6, tb=2):
     assert hp % rows_a == 0 and hp % rows_b == 0, (hp, rows_a, rows_b)
     n_tsteps = t // tb
     dtype = padded.dtype
-    wd1 = _pack_dy(w1.astype(dtype))
-    wd2f = _pack_dy(w2f.astype(dtype))
-    wd2b = _pack_dy(w2b.astype(dtype))
+    wd1 = _pack_dydx(w1.astype(dtype))
+    wd2f = _pack_dydx(w2f.astype(dtype))
+    wd2b = _pack_dydx(w2b.astype(dtype))
     wspec = lambda arr: pl.BlockSpec(arr.shape, lambda b, i, tt: (0,) * arr.ndim)
 
     b1r = b1.reshape(1, -1).astype(jnp.float32)
     bfr = bfuse.reshape(1, -1).astype(jnp.float32)
     b2r = b2.reshape(1, -1).astype(jnp.float32)
-    wfuse_c = wfuse.astype(dtype)
+    # frame-group layout for the one-dot fusion: [n_tsteps, tb*C, C]
+    wfuse_c = wfuse.astype(dtype).reshape(n_tsteps, tb * c, c)
 
     interp = jax.default_backend() == "cpu"
 
@@ -219,7 +227,7 @@ def _pfrb_split_pallas(padded, params, h, w, rows_a=8, rows_b=6, tb=2):
                   wspec(wd2f), wspec(wd2b), wspec(b2r)],
         out_specs=cur5b,
         out_shape=jax.ShapeDtypeStruct((n, t, hp, c2, c), dtype),
-        scratch_shapes=[pltpu.VMEM((rows_b * c2, c), dtype)],
+        scratch_shapes=[pltpu.VMEM((rows_b * c2, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -62,6 +62,9 @@ def case(m, k, n, reps, grid, dtype=jnp.bfloat16):
             ],
             out_specs=pl.BlockSpec((1, m, n), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((grid, m, n), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(x.reshape(grid, m, k), w)
 
     dt = timeit(fn, x, w)
