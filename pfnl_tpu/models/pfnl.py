@@ -37,6 +37,7 @@ import flax.linen as nn
 
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
 from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain, pfrb_chain_xla
+from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
 from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
 from pfnl_tpu.ops.resize import resize_bicubic
@@ -108,15 +109,16 @@ class PFNL(nn.Module):
 
         impl = self.pfrb_impl
         if impl == "auto":
-            # two-kernel pipelined path on TPU for large frames; XLA for
+            # pair-packed two-kernel path on TPU for large frames; XLA for
             # small (training-crop) spatial sizes where per-program
             # overheads dominate, and everywhere off-TPU
             big = h * w >= 96 * 96
-            impl = "pallas_split" if (jax.default_backend() == "tpu" and big) else "xla"
+            impl = "pallas_pack" if (jax.default_backend() == "tpu" and big) else "xla"
         chain_fn = {
             "xla": pfrb_chain_xla,
             "pallas": pfrb_chain,          # single manual-DMA kernel (parked)
-            "pallas_split": pfrb_chain_split,
+            "pallas_split": pfrb_chain_split,  # 64-lane two-kernel (superseded)
+            "pallas_pack": pfrb_chain_pack,
         }[impl]
 
         params_list = []

@@ -55,6 +55,29 @@ def test_pfrb_chains_match_xla(rng):
     np.testing.assert_allclose(np.asarray(pfrb_chain(feat, params)), ref, atol=2e-6)
     np.testing.assert_allclose(np.asarray(pfrb_chain_split(feat, params)), ref, atol=2e-6)
 
+    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
+
+    np.testing.assert_allclose(np.asarray(pfrb_chain_pack(feat, params)), ref, atol=2e-6)
+
+
+def test_pfrb_pack_odd_sizes(rng):
+    """Pair-packed path at odd H/W and T not divisible by the frame group."""
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
+
+    c, t = 64, 5
+    params = [
+        tuple(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.05
+            for s in [(3, 3, c, c), (c,), (t, c, c), (c,), (3, 3, c, c),
+                      (3, 3, c, c), (c,)]
+        )
+    ]
+    feat = jnp.asarray(rng.standard_normal((1, t, 9, 13, c)).astype(np.float32)) * 0.1
+    ref = np.asarray(pfrb_chain_xla(feat, params))
+    np.testing.assert_allclose(np.asarray(pfrb_chain_pack(feat, params)), ref, atol=2e-6)
+
 
 def test_pfrb_chain_gradient(rng):
     import jax
@@ -74,3 +97,8 @@ def test_pfrb_chain_gradient(rng):
     g = jax.grad(lambda f: jnp.sum(pfrb_chain_split(f, params) ** 2))(feat)
     gr = jax.grad(lambda f: jnp.sum(pfrb_chain_xla(f, params) ** 2))(feat)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
+
+    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
+
+    gp = jax.grad(lambda f: jnp.sum(pfrb_chain_pack(f, params) ** 2))(feat)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-4)
