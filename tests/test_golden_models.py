@@ -1,0 +1,261 @@
+"""Model-level golden tests against hand-written numpy oracles.
+
+The oracles are transcribed INDEPENDENTLY from the reference formulas
+(float64 numpy, loop/pad style) — not from the pfnl_tpu implementations —
+so they anchor the full model wiring to an external source of truth:
+
+  * PFNL forward (reference model/pfnl.py:39-80 + utils.py:18-71):
+    catches drift in the PFRB algebraic refactor (concat-conv == split
+    conv sums), the NonLocal residual wiring, bias placement, the
+    space/depth shuffles, and the TF1-legacy bicubic path.
+  * FRVSR first step (reference model/frvsr.py:41-66): catches drift in
+    the residual trunk and the stride-2 transpose-conv semantics,
+    including the TF conv2d_transpose <-> flax ConvTranspose kernel
+    mapping (mirror + in/out transpose) that a checkpoint importer needs.
+
+Weights are seeded-random but FIXED, injected into the flax params by
+name; the same arrays parameterize the oracle (reshaped to the
+reference's concatenated-kernel layouts where the repo splits them).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+# ---------------------------------------------------------------- oracle ops
+
+def np_lrelu(x, alpha=0.2):
+    return np.maximum(x, alpha * x)
+
+
+def np_conv2d(x, k, b=None):
+    """SAME zero-padded conv, NHWC / HWIO, float64."""
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = k.shape
+    ph, pw = kh // 2, kw // 2
+    xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    out = np.zeros((n, h, w, cout))
+    for dy in range(kh):
+        for dx in range(kw):
+            out += xp[:, dy:dy + h, dx:dx + w, :] @ k[dy, dx]
+    if b is not None:
+        out += b
+    return out
+
+
+def np_conv2d_transpose_tf(y, k_tf, b, stride):
+    """TF conv2d_transpose, SAME, kernel [kh, kw, C_OUT, C_IN] (TF order),
+    output size in*stride: the gradient of a SAME stride-`stride` conv.
+    out[2j+dy] += y[j] * k[dy] per spatial dim (forward pad_begin is 0 for
+    even input sizes with k=3,s=2)."""
+    n, h, w, cin = y.shape
+    kh, kw, cout, _ = k_tf.shape
+    oh, ow = h * stride, w * stride
+    out = np.zeros((n, oh, ow, cout))
+    for j in range(h):
+        for i in range(w):
+            for dy in range(kh):
+                for dx in range(kw):
+                    r, c = stride * j + dy, stride * i + dx
+                    if r < oh and c < ow:
+                        out[:, r, c, :] += y[:, j, i, :] @ k_tf[dy, dx].T
+    return out + b
+
+
+def np_s2d(x, r):
+    n, hr, wr, c = x.shape
+    h, w = hr // r, wr // r
+    return (x.reshape(n, h, r, w, r, c).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h, w, r * r * c))
+
+
+def np_d2s(x, r):
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    return (x.reshape(n, h, w, r, r, c).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h * r, w * r, c))
+
+
+def _np_keys(x, a=-0.75):
+    x = np.abs(x)
+    out = np.where(x <= 1, (a + 2) * x**3 - (a + 3) * x**2 + 1, 0.0)
+    return np.where((x > 1) & (x < 2), a * (x**3 - 5 * x**2 + 8 * x - 4), out)
+
+
+def np_resize_tf1(x, oh, ow, method="bicubic"):
+    """TF1 resize_images(align_corners=False) legacy mapping src=dst*scale
+    with index clamping (reference modules/videosr_ops.py:60-68 call
+    sites)."""
+    def axis_matrix(n_in, n_out):
+        dst = np.arange(n_out)
+        src = dst * (n_in / n_out)
+        base = np.floor(src).astype(int)
+        m = np.zeros((n_out, n_in))
+        taps = range(-1, 3) if method == "bicubic" else range(0, 2)
+        for t in taps:
+            idx = np.clip(base + t, 0, n_in - 1)
+            wgt = (_np_keys(src - (base + t)) if method == "bicubic"
+                   else np.maximum(0, 1 - np.abs(src - (base + t))))
+            for o in range(n_out):
+                m[o, idx[o]] += wgt[o]
+        return m
+
+    n, h, w, c = x.shape
+    mh, mw = axis_matrix(h, oh), axis_matrix(w, ow)
+    return np.einsum("oh,nhwc,pw->nopc", mh, x, mw)
+
+
+# ---------------------------------------------------------------- PFNL
+
+def pfnl_oracle(x, p, t, scale=4, mf=64):
+    """Reference PFNL forward (model/pfnl.py:39-80) in numpy float64.
+    p: dict of weight arrays in the REFERENCE's concatenated layouts."""
+    n, _, h, w, c = x.shape
+    frames = [x[:, i] for i in range(t)]
+    inp0 = np.concatenate(frames, -1)                      # pfnl.py:55-56
+    inp1 = np_s2d(inp0, 2)                                 # :57
+    # NonLocalBlock gaussian (utils.py:18-71): g conv, theta=phi=input
+    g = np_conv2d(inp1, p["g_k"], p["g_b"])
+    nn_, hh, ww, cc = inp1.shape
+    th = inp1.reshape(nn_, hh * ww, cc)
+    f = np.exp(th @ th.transpose(0, 2, 1))                 # utils.py:57
+    f = f / f.sum(-1, keepdims=True)                       # manual softmax :58
+    y = (f @ g.reshape(nn_, hh * ww, cc)).reshape(nn_, hh, ww, cc)
+    w_y = np_conv2d(y, p["w_k"], p["w_b"])                 # utils.py:70
+    inp0 = inp0 + np_d2s(w_y, 2)                           # pfnl.py:59-60
+    frames = [inp0[..., c * i:c * (i + 1)] for i in range(t)]
+    feats = [np_lrelu(np_conv2d(fr, p["k0"], p["b0"])) for fr in frames]  # :62
+    bic = np_resize_tf1(x[:, t // 2], h * scale, w * scale)               # :63
+    # one PFRB in the reference's concat form (pfnl.py:65-71)
+    i1 = [np_lrelu(np_conv2d(f_, p["w1"], p["b1"])) for f_ in feats]
+    base = np_lrelu(np_conv2d(np.concatenate(i1, -1), p["wfuse_cat"], p["bfuse"]))
+    for i in range(t):
+        i2 = np_lrelu(np_conv2d(np.concatenate([base, i1[i]], -1),
+                                p["w2_cat"], p["b2"]))
+        feats[i] = feats[i] + i2
+    merge = np_lrelu(np_conv2d(np.concatenate(feats, -1),
+                               p["km1"], p["bm1"]))        # :73-74
+    large1 = np_d2s(merge, 2)                              # :76
+    out1 = np_conv2d(large1, p["km2"], p["bm2"])           # :77 (no act)
+    out = np_d2s(out1, 2)                                  # :78
+    return out + bic                                       # :80
+
+
+def test_pfnl_golden_numpy():
+    from pfnl_tpu.models.pfnl import PFNL
+
+    rng = np.random.default_rng(42)
+    t, h, w, mf = 3, 8, 8, 64
+    x = rng.random((1, t, h, w, 3))
+    cnl = 3 * t * 4  # non-local channels after space_to_depth(2)
+
+    def W(*shape, s=0.1):
+        return (rng.standard_normal(shape) * s)
+
+    p = dict(
+        g_k=W(1, 1, cnl, cnl), g_b=W(cnl),
+        w_k=W(1, 1, cnl, cnl), w_b=W(cnl),
+        k0=W(5, 5, 3, mf), b0=W(mf),
+        w1=W(3, 3, mf, mf), b1=W(mf),
+        wfuse_cat=W(1, 1, t * mf, mf), bfuse=W(mf),
+        w2_cat=W(3, 3, 2 * mf, mf), b2=W(mf),
+        km1=W(3, 3, t * mf, 48), bm1=W(48),
+        km2=W(3, 3, 12, 12), bm2=W(12),
+    )
+
+    want = pfnl_oracle(x, p, t)
+
+    model = PFNL(num_frames=t, num_blocks=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32))
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    params["nlblock_0"]["g"]["kernel"] = p["g_k"]
+    params["nlblock_0"]["g"]["bias"] = p["g_b"]
+    params["nlblock_0"]["w"]["kernel"] = p["w_k"]
+    params["nlblock_0"]["w"]["bias"] = p["w_b"]
+    params["conv0"]["kernel"] = p["k0"]
+    params["conv0"]["bias"] = p["b0"]
+    params["conv1_0_kernel"] = p["w1"]
+    params["conv1_0_bias"] = p["b1"]
+    # the repo's per-frame fusion weights are slices of the reference's
+    # concatenated 1x1 kernel (frame-major channel groups)
+    params["conv10_0_kernel"] = np.stack(
+        [p["wfuse_cat"][0, 0, mf * i:mf * (i + 1), :] for i in range(t)])
+    params["conv10_0_bias"] = p["bfuse"]
+    # conv2 concat kernel splits into (base, frame) halves in that order
+    params["conv2b_0_kernel"] = p["w2_cat"][:, :, :mf, :]
+    params["conv2f_0_kernel"] = p["w2_cat"][:, :, mf:, :]
+    params["conv2f_0_bias"] = p["b2"]
+    params["convmerge1"]["kernel"] = p["km1"]
+    params["convmerge1"]["bias"] = p["bm1"]
+    params["convmerge2"]["kernel"] = p["km2"]
+    params["convmerge2"]["bias"] = p["bm2"]
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    got = model.apply({"params": params}, jnp.asarray(x, jnp.float32))["sr"]
+    got = np.asarray(got)[:, 0]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- FRVSR
+
+def frvsr_first_step_oracle(x, p, nb, mf):
+    """Reference FRVSR trunk, first frame (model/frvsr.py:41-66):
+    conv0 -> nb residual blocks -> two stride-2 transpose convs -> out."""
+    conv0 = np.maximum(np_conv2d(x, p["k00"], p["b00"]), 0)
+    for j in range(nb):
+        c1 = np.maximum(np_conv2d(conv0, p[f"k1_{j}"], p[f"b1_{j}"]), 0)
+        c2 = np_conv2d(c1, p[f"k2_{j}"], p[f"b2_{j}"])
+        conv0 = conv0 + c2
+    xl = np.maximum(np_conv2d_transpose_tf(conv0, p["kl1"], p["bl1"], 2), 0)
+    xl = np.maximum(np_conv2d_transpose_tf(xl, p["kl2"], p["bl2"], 2), 0)
+    return np_conv2d(xl, p["ko"], p["bo"])
+
+
+def test_frvsr_first_step_golden():
+    from pfnl_tpu.models.frvsr import FRVSR
+
+    rng = np.random.default_rng(7)
+    nb, mf, h, w = 2, 8, 8, 8  # h,w must survive the flow U-net's 3 pools
+    x = rng.random((1, h, w, 3))
+
+    def W(*shape, s=0.2):
+        return rng.standard_normal(shape) * s
+
+    p = dict(
+        k00=W(3, 3, 3, mf), b00=W(mf),
+        kl1=W(3, 3, mf, mf), bl1=W(mf),   # TF layout [kh,kw,OUT,IN]
+        kl2=W(3, 3, mf, mf), bl2=W(mf),
+        ko=W(3, 3, mf, 3), bo=W(3),
+    )
+    for j in range(nb):
+        p[f"k1_{j}"], p[f"b1_{j}"] = W(3, 3, mf, mf), W(mf)
+        p[f"k2_{j}"], p[f"b2_{j}"] = W(3, 3, mf, mf), W(mf)
+
+    want = frvsr_first_step_oracle(x, p, nb, mf)
+
+    model = FRVSR(num_frames=2, mf=mf, num_blocks=nb)
+    xj = jnp.asarray(x, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), xj[:, None].repeat(2, 1))
+    params = variables["params"]
+    params["conv0_0"]["kernel"] = p["k00"]
+    params["conv0_0"]["bias"] = p["b00"]
+    for j in range(nb):
+        params[f"conv1_{j}"]["kernel"] = p[f"k1_{j}"]
+        params[f"conv1_{j}"]["bias"] = p[f"b1_{j}"]
+        params[f"conv2_{j}"]["kernel"] = p[f"k2_{j}"]
+        params[f"conv2_{j}"]["bias"] = p[f"b2_{j}"]
+    # TF conv2d_transpose kernel [kh,kw,out,in] -> flax ConvTranspose
+    # [kh,kw,in,out] requires a spatial MIRROR + channel transpose
+    # (lax.conv_transpose pads (2,1) and does not flip the kernel)
+    for name, kk, bb in [("large1", "kl1", "bl1"), ("large2", "kl2", "bl2")]:
+        k_tf = p[kk]
+        params[name]["kernel"] = k_tf[::-1, ::-1].transpose(0, 1, 3, 2)
+        params[name]["bias"] = p[bb]
+    params["out"]["kernel"] = p["ko"]
+    params["out"]["bias"] = p["bo"]
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    got = np.asarray(model.apply({"params": params}, xj, method=FRVSR.step))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
