@@ -37,6 +37,7 @@ import flax.linen as nn
 
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
 from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain, pfrb_chain_xla
+from pfnl_tpu.ops.pallas.pfnl_tail import blocks_and_tail_pack
 from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
 from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
@@ -135,13 +136,29 @@ class PFNL(nn.Module):
                              (3, 3, mf, mf))
             b2 = self.param(f"conv2f_{i}_bias", nn.initializers.zeros, (mf,))
             params_list.append((w1, b1, wfuse, bfuse, w2f, w2b, b2))
-        feat5 = chain_fn(feat.reshape(n, t, h, w, mf), params_list)
 
-        merge = feat5.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
-        merge = act(conv(48, 3, "convmerge1")(merge))
-        large1 = depth_to_space(merge, 2)
-        out1 = conv(12, 3, "convmerge2")(large1)  # no activation (pfnl.py:53)
-        out = depth_to_space(out1, 2)
+        # merge-head params (explicit so both the XLA path and the fused
+        # packed blocks+tail kernel share them)
+        wm1 = self.param("convmerge1_kernel", xavier_uniform(), (3, 3, t * mf, 48))
+        bm1 = self.param("convmerge1_bias", nn.initializers.zeros, (48,))
+        km2 = self.param("convmerge2_kernel", xavier_uniform(), (3, 3, 12, 12))
+        bm2 = self.param("convmerge2_bias", nn.initializers.zeros, (12,))
+
+        feat_in = feat.reshape(n, t, h, w, mf)
+        if impl == "pallas_pack":
+            # fused path: blocks + merge tail never leave the packed layout
+            out = blocks_and_tail_pack(feat_in, params_list, wm1, bm1, km2, bm2)
+        else:
+            feat5 = chain_fn(feat_in, params_list)
+            merge = feat5.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
+            cv = lambda x, k, b: jax.lax.conv_general_dilated(
+                x, k.astype(x.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b.astype(x.dtype)
+            merge = act(cv(merge, wm1, bm1))
+            large1 = depth_to_space(merge, 2)
+            out1 = cv(large1, km2, bm2)  # no activation (pfnl.py:53)
+            out = depth_to_space(out1, 2)
 
         sr = (out + bic).astype(jnp.float32)
         return {"sr": sr[:, None]}  # [N,1,H,W,3]

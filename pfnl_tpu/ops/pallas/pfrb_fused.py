@@ -64,6 +64,12 @@ def _lrelu(x, alpha=0.2):
     return jnp.maximum(x, alpha * x)
 
 
+def _prec(dtype):
+    """f32 operands need an explicit HIGHEST or Mosaic lowers the dot to a
+    single bf16 pass (~1e-3 rel error; measured)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _pack_dy(w: jax.Array) -> jax.Array:
     """[3,3,C,F] conv kernel -> [3 (dx), 3C (dy-concat), F]."""
     return jnp.stack(
@@ -81,7 +87,8 @@ def _conv2d_flat(x2, wd, rows_out, c2):
     acc = None
     for dx in range(3):
         o = jax.lax.dot_general(
-            t3, wd[dx], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            t3, wd[dx], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(t3.dtype)
         )
         part = o[dx : dx + lv]
         acc = part if acc is None else acc + part
@@ -110,7 +117,8 @@ def _conv2d_flat_wcat(x2, wdd, rows_out, c2):
     L = rows_out * c2
     t3 = jnp.concatenate([x2[0:L], x2[c2 : c2 + L], x2[2 * c2 : 2 * c2 + L]], axis=-1)
     o = jax.lax.dot_general(
-        t3, wdd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        t3, wdd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(t3.dtype)
     )
     f = wdd.shape[-1] // 3
     return (

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfnl_tpu.ops.pallas.pfrb_fused import _lrelu, _round_up, pfrb_chain_xla
+from pfnl_tpu.ops.pallas.pfrb_fused import _lrelu, _prec, _round_up, pfrb_chain_xla
 
 
 def _pack_pair(w: jax.Array) -> jax.Array:
@@ -83,7 +83,8 @@ def _conv2d_pack(x2p, wpk, rows_out, c2p):
         [x2p[0:lp], x2p[c2p : c2p + lp], x2p[2 * c2p : 2 * c2p + lp]], axis=-1
     )
     o = jax.lax.dot_general(
-        t3, wpk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        t3, wpk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(t3.dtype)
     )
     return o[:, 0:128] + pltpu.roll(o[:, 128:256], lp - 1, 0)
 
@@ -136,7 +137,7 @@ def _kernel_a(prev_ref, cur_ref, next_ref, wpk1, b1, wfuse, bfuse,
     cat = jnp.concatenate(i1s, axis=-1)
     contrib = jax.lax.dot_general(
         cat, wfuse[ts], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(cat.dtype),
     )
 
     @pl.when(ts == 0)

@@ -36,6 +36,7 @@ from pfnl_tpu.ops.pallas.pfrb_fused import (
     _conv2d_flat_wcat,
     _lrelu,
     _pack_dydx,
+    _prec,
     _round_up,
     pfrb_chain_xla,
 )
@@ -87,7 +88,7 @@ def _kernel_a(prev_ref, cur_ref, next_ref, wd1, b1, wfuse, bfuse,
     cat = jnp.concatenate(i1s, axis=-1)
     contrib = jax.lax.dot_general(
         cat, wfuse[ts], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_prec(cat.dtype),
     )
 
     @pl.when(ts == 0)

@@ -187,10 +187,10 @@ def test_pfnl_golden_numpy():
     params["conv2b_0_kernel"] = p["w2_cat"][:, :, :mf, :]
     params["conv2f_0_kernel"] = p["w2_cat"][:, :, mf:, :]
     params["conv2f_0_bias"] = p["b2"]
-    params["convmerge1"]["kernel"] = p["km1"]
-    params["convmerge1"]["bias"] = p["bm1"]
-    params["convmerge2"]["kernel"] = p["km2"]
-    params["convmerge2"]["bias"] = p["bm2"]
+    params["convmerge1_kernel"] = p["km1"]
+    params["convmerge1_bias"] = p["bm1"]
+    params["convmerge2_kernel"] = p["km2"]
+    params["convmerge2_bias"] = p["bm2"]
     params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
 
     got = model.apply({"params": params}, jnp.asarray(x, jnp.float32))["sr"]

@@ -60,6 +60,36 @@ def test_pfrb_chains_match_xla(rng):
     np.testing.assert_allclose(np.asarray(pfrb_chain_pack(feat, params)), ref, atol=2e-6)
 
 
+def test_pfnl_tail_pack_matches_xla(rng):
+    """Fused blocks+tail path vs the XLA composition (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.pallas.pfnl_tail import _xla_blocks_tail, blocks_and_tail_pack
+
+    c, t = 64, 7
+    params = [
+        tuple(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.05
+            for s in [(3, 3, c, c), (c,), (t, c, c), (c,), (3, 3, c, c),
+                      (3, 3, c, c), (c,)]
+        )
+    ]
+    feat = jnp.asarray(rng.standard_normal((1, t, 9, 13, c)).astype(np.float32)) * 0.1
+    wm1 = jnp.asarray(rng.standard_normal((3, 3, t * c, 48)).astype(np.float32)) * 0.05
+    bm1 = jnp.asarray(rng.standard_normal(48).astype(np.float32)) * 0.1
+    km2 = jnp.asarray(rng.standard_normal((3, 3, 12, 12)).astype(np.float32)) * 0.05
+    bm2 = jnp.asarray(rng.standard_normal(12).astype(np.float32)) * 0.1
+
+    ref = np.asarray(_xla_blocks_tail(feat, params, wm1, bm1, km2, bm2))
+    got = np.asarray(blocks_and_tail_pack(feat, params, wm1, bm1, km2, bm2))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # gradient goes through the XLA fallback
+    g = jax.grad(lambda f: jnp.sum(blocks_and_tail_pack(f, params, wm1, bm1, km2, bm2) ** 2))(feat)
+    gr = jax.grad(lambda f: jnp.sum(_xla_blocks_tail(f, params, wm1, bm1, km2, bm2) ** 2))(feat)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
+
+
 def test_pfrb_pack_odd_sizes(rng):
     """Pair-packed path at odd H/W and T not divisible by the frame group."""
     import jax.numpy as jnp
