@@ -237,12 +237,12 @@ def blocks_and_tail_pack(feat, params_list, wm1, bm1, km2, bm2):
     feat: [N,T,H,W,64] -> [N,4H,4W,3] (pre-bicubic).  XLA gradient."""
     from pfnl_tpu.ops.pallas.pfrb_fused import _round_up
     from pfnl_tpu.ops.pallas.pfrb_pack import (
-        _pfrb_pack_pallas, pad_to_pack_layout,
+        _pfrb_pack_pallas, pad_to_pack_layout, pick_rows, pick_tb,
     )
 
     n, t, h, w, c = feat.shape
-    rows = 16
-    tb = 8 if _round_up(t, 8) == _round_up(t, 4) else 4
+    rows = pick_rows(h)
+    tb = pick_tb(t)
     tp = _round_up(t, tb)
     packed = pad_to_pack_layout(feat, rows=rows)
     if tp != t:

@@ -202,10 +202,12 @@ def pad_to_pack_layout(feat, rows=16):
     return padded.reshape(n, t, hp, c2 // 2, 2 * c)
 
 
-def unpad_from_pack_layout(packed, h, w):
+def unpad_from_pack_layout(packed, h, w, col0=2):
+    """col0=2 for the carried feat layout; col0=1 for the i1/base grid
+    (whose col c corresponds to image col c-1)."""
     n, t, hp, c2p, cl = packed.shape
     c = cl // 2
-    return packed.reshape(n, t, hp, 2 * c2p, c)[:, :, :h, 2 : 2 + w, :]
+    return packed.reshape(n, t, hp, 2 * c2p, c)[:, :, :h, col0 : col0 + w, :]
 
 
 def _specs(rows, tb, c2p, cl, hp):
@@ -230,7 +232,8 @@ def _specs(rows, tb, c2p, cl, hp):
     return cur5, prev5, next5, cur4, prev4, next4
 
 
-def _pfrb_pack_pallas(packed, params, h, w, rows=16, tb=4):
+def _pfrb_pack_pallas(packed, params, h, w, rows=16, tb=4,
+                      want_intermediates=False):
     w1, b1, wfuse, bfuse, w2f, w2b, b2 = params
     n, t, hp, c2p, cl = packed.shape
     c = cl // 2
@@ -281,41 +284,160 @@ def _pfrb_pack_pallas(packed, params, h, w, rows=16, tb=4):
         ),
         interpret=interp,
     )(i1, i1, i1, base, base, base, packed, wpk2f, wpk2b, b2r)
+    if want_intermediates:
+        return out, i1, base
     return out
 
 
-@jax.custom_vjp
-def pfrb_chain_pack(feat, params_list):
-    """N fused PFRBs on the pair-packed layout; XLA gradient.
+def pick_rows(h: int) -> int:
+    """Row-tile size minimizing the padded height (rows=20 at h=180 saves
+    the 6.7% hp padding of rows=16 and measured ~8% block time)."""
+    cands = [(_round_up(h, r), -r, r) for r in (12, 16, 20)]
+    return min(cands)[2]
 
-    T is padded to a multiple of the frame-group size; padded frames carry
-    zero fusion weights so they never affect real frames."""
+
+def pick_tb(t: int) -> int:
+    """Largest frame group that doesn't inflate the padded T (tb=8 wins
+    slightly when it fits: fewer programs, amortized weights)."""
+    return 8 if _round_up(t, 8) == _round_up(t, 4) else 4
+
+
+def _chain_pack_run(feat, params_list, collect=False):
+    """Run the packed chain; optionally collect (feat_in, i1, base) per
+    block (unpacked, for the manual backward)."""
     n, t, h, w, c = feat.shape
-    rows = 16
-    # largest frame group that doesn't inflate the padded T (tb=8 wins
-    # slightly when it fits: fewer programs, amortized weights)
-    tb = 8 if _round_up(t, 8) == _round_up(t, 4) else 4
+    rows = pick_rows(h)
+    tb = pick_tb(t)
     tp = _round_up(t, tb)
     packed = pad_to_pack_layout(feat, rows=rows)
     if tp != t:
         packed = jnp.pad(packed, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
+    feats, i1s, bases = [], [], []
     for p in params_list:
         if tp != t:
             w1, b1, wfuse, bfuse, w2f, w2b, b2 = p
             wfuse = jnp.pad(wfuse, ((0, tp - t), (0, 0), (0, 0)))
             p = (w1, b1, wfuse, bfuse, w2f, w2b, b2)
-        packed = _pfrb_pack_pallas(packed, p, h, w, rows, tb=tb)
-    return unpad_from_pack_layout(packed[:, :t], h, w)
+        if collect:
+            # keep the RAW packed buffers (no copies in the forward); the
+            # backward unpads them lazily
+            feats.append(packed)
+            out_p, i1_p, base_p = _pfrb_pack_pallas(
+                packed, p, h, w, rows, tb=tb, want_intermediates=True)
+            i1s.append(i1_p)
+            bases.append(base_p)
+            packed = out_p
+        else:
+            packed = _pfrb_pack_pallas(packed, p, h, w, rows, tb=tb)
+    out = unpad_from_pack_layout(packed[:, :t], h, w)
+    if collect:
+        feats.append(packed)
+        return out, (feats, i1s, bases)
+    return out
+
+
+@jax.custom_vjp
+def pfrb_chain_pack(feat, params_list):
+    """N fused PFRBs on the pair-packed layout.
+
+    T is padded to a multiple of the frame-group size; padded frames carry
+    zero fusion weights so they never affect real frames.  The backward
+    pass is the MANUAL gradient computed from the forward's saved
+    (feat, i1, base) activations — no forward recompute (the i1/base come
+    free out of kernel A)."""
+    return _chain_pack_run(feat, params_list, collect=False)
+
+
+def _conv_nhwc(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_prec(x.dtype),
+    )
+
+
+def _conv_x_grad(dy, k):
+    """Gradient w.r.t. the input of a stride-1 SAME conv: conv with the
+    spatially mirrored, channel-transposed kernel."""
+    return _conv_nhwc(dy, k[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
+def _conv_w_grad(x, dy):
+    """[B,H,W,Ci],[B,H,W,Co] -> [3,3,Ci,Co] weight gradient of a stride-1
+    SAME 3x3 conv: a conv with batch as the contraction ('CHWN','IHWO')
+    so XLA uses its native weight-gradient kernel."""
+    return jax.lax.conv_general_dilated(
+        x, dy, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        preferred_element_type=jnp.float32,
+        precision=_prec(x.dtype),
+    )
+
+
+_ALPHA = 0.2
+
+
+def _lrelu_mask(y):
+    """lrelu'(z) recovered from the OUTPUT sign (valid since alpha>0)."""
+    return jnp.where(y > 0, 1.0, _ALPHA).astype(jnp.float32)
+
+
+def _chain_manual_bwd(res, g):
+    feats_p, i1s_p, bases_p, params_list = res
+    nb = len(params_list)
+    n, t, h, w, c = g.shape
+    feats = [unpad_from_pack_layout(p[:, :t], h, w) for p in feats_p]
+    i1s = [unpad_from_pack_layout(p[:, :t], h, w, col0=1) for p in i1s_p]
+    bases = [unpad_from_pack_layout(p[:, None], h, w, col0=1)[:, 0]
+             for p in bases_p]
+    ct = feats[0].dtype  # compute in the activation dtype (bf16 on TPU),
+    # matching the XLA-autodiff cost; reductions accumulate in f32
+    fold = lambda x: x.reshape(n * t, h, w, c)
+    unfold = lambda x: x.reshape(n, t, h, w, c)
+    fsum = lambda x, ax: jnp.sum(x.astype(jnp.float32), axis=ax)
+
+    alpha = jnp.asarray(_ALPHA, ct)
+    one = jnp.asarray(1.0, ct)
+    mask = lambda y: jnp.where(y > 0, one, alpha)
+
+    d_out = g.astype(ct)
+    d_params = []
+    for k in reversed(range(nb)):
+        w1, b1, wfuse, bfuse, w2f, w2b, b2 = params_list[k]
+        feat, i1, base = feats[k], i1s[k], bases[k]
+        i2 = feats[k + 1] - feat
+        dz2 = d_out * mask(i2)
+        dz2_4 = fold(dz2)
+        d_i1 = unfold(_conv_x_grad(dz2_4, w2f))
+        d_w2f = _conv_w_grad(fold(i1), dz2_4)
+        d_b2 = fsum(dz2, (0, 1, 2, 3))
+        dz2_sum = jnp.sum(dz2.astype(jnp.float32), axis=1).astype(ct)
+        d_base = _conv_x_grad(dz2_sum, w2b)      # base broadcast over frames
+        d_w2b = _conv_w_grad(base, dz2_sum)
+        dzb = d_base * mask(base)
+        d_i1 = d_i1 + jnp.einsum("nhwd,tcd->nthwc", dzb, wfuse.astype(ct),
+                                 precision=_prec(ct)).astype(ct)
+        d_wfuse = jnp.einsum("nthwc,nhwd->tcd", i1, dzb,
+                             preferred_element_type=jnp.float32,
+                             precision=_prec(ct))
+        d_bfuse = fsum(dzb, (0, 1, 2))
+        dz1 = d_i1 * mask(i1)
+        dz1_4 = fold(dz1)
+        d_feat = d_out + unfold(_conv_x_grad(dz1_4, w1))
+        d_w1 = _conv_w_grad(fold(feat), dz1_4)
+        d_b1 = fsum(dz1, (0, 1, 2, 3))
+        d_params.append(tuple(
+            x.astype(p.dtype) for x, p in zip(
+                (d_w1, d_b1, d_wfuse, d_bfuse, d_w2f, d_w2b, d_b2),
+                params_list[k])
+        ))
+        d_out = d_feat
+    return d_out.astype(g.dtype), list(reversed(d_params))
 
 
 def _fwd(feat, params_list):
-    return pfrb_chain_pack(feat, params_list), (feat, params_list)
+    out, (feats, i1s, bases) = _chain_pack_run(feat, params_list, collect=True)
+    return out, (feats, i1s, bases, params_list)
 
 
-def _bwd(res, g):
-    feat, params_list = res
-    _, vjp = jax.vjp(pfrb_chain_xla, feat, params_list)
-    return vjp(g)
-
-
-pfrb_chain_pack.defvjp(_fwd, _bwd)
+pfrb_chain_pack.defvjp(_fwd, _chain_manual_bwd)

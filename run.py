@@ -120,6 +120,35 @@ def cmd_bench(args):
     bench.main(model=args.model, hw=args.hw, frames=args.frames, steps=args.steps)
 
 
+def cmd_prepare(args):
+    from pfnl_tpu.data.prepare import make_filelists, prepare_dataset
+
+    n = prepare_dataset(args.root, scale=args.scale, overwrite=args.overwrite)
+    print(f"rendered {n} LR frames")
+    if not args.no_filelists:
+        make_filelists(args.root, val_count=args.val_count)
+
+
+def cmd_parity(args):
+    """One-command parity sweep: run inference over a dataset dir of
+    truth-only sequences, then print the MATLAB-equivalent Y-channel
+    PSNR/SSIM table (the README table layout)."""
+    from pfnl_tpu.eval.tables import dataset_table
+
+    name = args.name or f"{args.model}_parity"
+    if not args.tables_only:
+        cmd_test(_ns(args, name=name, start=0))
+    return dataset_table(args.data, name)
+
+
+class _ns:
+    """argparse-namespace view with overrides."""
+
+    def __init__(self, base, **kw):
+        self.__dict__.update(vars(base))
+        self.__dict__.update(kw)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="run.py")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -151,6 +180,22 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=7)
     p.add_argument("--steps", type=int, default=20)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("prepare", help="render blur{scale}/ + filelists")
+    p.add_argument("--root", required=True)
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--val-count", type=int, default=19)
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--no-filelists", action="store_true")
+    p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("parity", help="inference + Y-PSNR/SSIM table")
+    _common(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--name", default=None)
+    p.add_argument("--tables-only", action="store_true",
+                   help="skip inference, just recompute the table")
+    p.set_defaults(fn=cmd_parity)
 
     args = ap.parse_args(argv)
     return args.fn(args)
