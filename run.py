@@ -149,6 +149,32 @@ class _ns:
         self.__dict__.update(kw)
 
 
+def cmd_import_tf1(args):
+    """Convert a reference TF1 checkpoint into an orbax checkpoint that
+    eval/test/parity can restore (no TensorFlow required)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfnl_tpu.train.trainer import Trainer
+    from pfnl_tpu.utils.tf1_ckpt import import_pfnl_tf1
+
+    cfg = _cfg_from_args(args)
+    if cfg.model != "pfnl":
+        raise SystemExit("TF1 import currently supports the pfnl model")
+    tr = Trainer(cfg)
+    shape = (1, cfg.num_frames, cfg.in_size, cfg.in_size, 3)
+    state = tr.init_state(jax.random.PRNGKey(0), np.zeros(shape, np.float32))
+    imported = jax.tree.map(
+        jnp.asarray, import_pfnl_tf1(args.ckpt, num_frames=cfg.num_frames))
+    ref_shapes = jax.tree.map(lambda a: a.shape, state.params)
+    new_shapes = jax.tree.map(lambda a: a.shape, imported)
+    if ref_shapes != new_shapes:
+        raise SystemExit(
+            f"imported param tree mismatch:\n{ref_shapes}\nvs\n{new_shapes}")
+    tr.save(state.replace(params=imported))
+    print(f"imported {args.ckpt} -> {tr.workdir} (step {int(state.step)})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="run.py")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -188,6 +214,13 @@ def main(argv=None):
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--no-filelists", action="store_true")
     p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("import-tf1",
+                       help="convert a reference TF1 checkpoint to orbax")
+    _common(p)
+    p.add_argument("--ckpt", required=True,
+                   help="TF1 checkpoint prefix (with .index/.data-* files)")
+    p.set_defaults(fn=cmd_import_tf1)
 
     p = sub.add_parser("parity", help="inference + Y-PSNR/SSIM table")
     _common(p)
