@@ -107,6 +107,11 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
     return 1.0 / dt
 
 
+# per-model temporal window (reference configs, SURVEY.md §0)
+_MODEL_FRAMES = {"pfnl": 7, "vespcn": 3, "ltdvsr": 5, "mcresnet": 5,
+                 "drvsr": 3, "frvsr": 10, "duf": 7}
+
+
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
          steps: int = 10, batch: int = 16, dtype: str = "bfloat16"):
     import jax
@@ -127,6 +132,8 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
     )
     init_kw = {"is_train": False} if model == "duf" else {}
     variables = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, **init_kw))()
+    # HR frames emitted per window (recurrent models emit one per input)
+    out_frames = int(m.apply(variables, x[:1], **init_kw)["sr"].shape[1])
 
     @jax.jit
     def chained(variables, x):
@@ -139,7 +146,7 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
 
     dt_total = _time_chained(chained, variables, x)
     dt = dt_total / steps
-    fps = batch / dt  # one HR frame out per input window
+    fps = batch * out_frames / dt
 
     print(
         json.dumps(
@@ -148,11 +155,27 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
                 f"{h*4}x{w*4}, {dtype}, batch {batch})",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
+                # denominator: the PFNL paper's ~0.24 s per 720p frame
+                # (~4.2 fps) — the only reference-derived throughput figure
                 "vs_baseline": round(fps / _REFERENCE_FPS, 3),
             }
         )
     )
     return fps
+
+
+def bench_all(hw: str = "180x320", steps: int = 10, batch: int = 8,
+              dtype: str = "bfloat16"):
+    """One JSON line per model family (the regression matrix artifact)."""
+    results = {}
+    for model, frames in _MODEL_FRAMES.items():
+        try:
+            results[model] = main(model, hw, frames, steps, batch, dtype)
+        except Exception as e:  # keep the matrix going; record the failure
+            print(json.dumps({"metric": f"HR frames/sec/chip ({model})",
+                              "value": None, "unit": "frames/sec",
+                              "error": str(e)[:200]}))
+    return results
 
 
 if __name__ == "__main__":
@@ -167,6 +190,8 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference fps")
+    ap.add_argument("--all", action="store_true",
+                    help="emit one JSON line per model family")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
     a = ap.parse_args()
@@ -178,6 +203,8 @@ if __name__ == "__main__":
                 train_bench(a.model, a.steps, batch=16, frames=a.frames)
             else:
                 main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
+    elif a.all:
+        bench_all(a.hw, a.steps, a.batch, a.dtype)
     elif a.train:
         train_bench(a.model, a.steps, batch=16, frames=a.frames)
     else:

@@ -121,7 +121,15 @@ class EasyFlowTrainer:
         return self._step
 
     def train(self, max_steps: Optional[int] = None, print_fn=print,
-              save_every: int = 500):
+              save_every: int = 500, summary_every: int = 10,
+              image_summary_every: int = 500):
+        """Observability mirrors the reference's TensorBoard usage
+        (modules/model_easyflow.py:119-129,173-174,192-195): scalar losses
+        every `summary_every` steps (JSONL at <save_dir>/metrics.jsonl)
+        and input/flow/warp image dumps every `image_summary_every` steps
+        (PNGs under <save_dir>/summaries/)."""
+        import json
+
         seqs = self._sequences()
         rng = np.random.default_rng(self.seed)
         s = self.crop_size
@@ -132,6 +140,8 @@ class EasyFlowTrainer:
         opt_state = self.tx.init(params)
         max_steps = max_steps or self.max_steps
         step_fn = self.step_fn()
+        os.makedirs(self.save_dir, exist_ok=True)
+        metrics_path = os.path.join(self.save_dir, "metrics.jsonl")
         for step in range(max_steps):
             batch = self.sample_batch(rng, seqs)
             t0 = time.time()
@@ -140,15 +150,45 @@ class EasyFlowTrainer:
             )
             loss = float(loss)
             assert not np.isnan(loss), "Model diverged with loss = NaN"
+            dt = time.time() - t0
             if step % 5 == 0:
-                dt = time.time() - t0
                 print_fn(
                     f"{time.strftime('%Y-%m-%d %H:%M:%S')}: step {step}, "
                     f"loss = {loss * 100:.4f} ({self.batch_size / dt:.1f} data/s)"
                 )
+            if step % summary_every == 0:
+                with open(metrics_path, "at") as f:
+                    f.write(json.dumps({
+                        "step": step, "loss": loss,
+                        "photometric": float(ld), "tv": float(lt),
+                        "lr": float(self.schedule(step)),
+                        "data_per_sec": self.batch_size / max(dt, 1e-9),
+                    }) + "\n")
+            if image_summary_every and step % image_summary_every == 0:
+                self._image_summaries(params, batch, step)
             if step % save_every == save_every - 1 or step + 1 == max_steps:
                 self.save(params, step)
         return params
+
+    def _image_summaries(self, params, batch_u8, step):
+        """Dump (input frame, flow color, warped ref) PNGs for the first
+        sample — the reference's image summaries as files."""
+        from pfnl_tpu.utils.flow_tools import flow_to_color
+        from pfnl_tpu.utils.image_io import imsave
+
+        frames = jnp.asarray(batch_u8[:1, :2]).astype(jnp.float32) / 255.0
+        y = rgb2y(frames)                      # [1,2,h,w,1]
+        src, ref = y[:, 0], y[:, 1]
+        uv = self.model.apply({"params": params}, src, ref)
+        warped = backward_warp(ref, uv)
+        out_dir = os.path.join(self.save_dir, "summaries")
+        os.makedirs(out_dir, exist_ok=True)
+        to8 = lambda a: np.clip(np.round(np.asarray(a) * 255.0), 0, 255).astype(np.uint8)
+        gray = lambda a: np.repeat(to8(a[0]), 3, axis=-1)
+        imsave(os.path.join(out_dir, f"{step:08d}_input.png"), gray(src))
+        imsave(os.path.join(out_dir, f"{step:08d}_warp.png"), gray(warped))
+        imsave(os.path.join(out_dir, f"{step:08d}_flow.png"),
+               flow_to_color(np.asarray(uv[0])))
 
     def save(self, params, step):
         os.makedirs(self.save_dir, exist_ok=True)

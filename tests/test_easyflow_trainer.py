@@ -21,8 +21,22 @@ def test_easyflow_train_and_restore(tmp_path):
         max_steps=4,
         subdir="truth",
     )
-    params = tr.train(print_fn=lambda *a: None, save_every=4)
+    params = tr.train(print_fn=lambda *a: None, save_every=4,
+                      summary_every=2, image_summary_every=2)
     assert params is not None
+
+    # observability artifacts (reference model_easyflow.py:119-129 analogue)
+    import glob
+    import json
+    import os
+
+    metrics = [json.loads(l) for l in
+               open(tmp_path / "ef_ckpt" / "metrics.jsonl")]
+    assert [m["step"] for m in metrics] == [0, 2]
+    assert all(np.isfinite(m["loss"]) and np.isfinite(m["tv"]) for m in metrics)
+    pngs = sorted(glob.glob(str(tmp_path / "ef_ckpt" / "summaries" / "*.png")))
+    names = {os.path.basename(p).split("_", 1)[1] for p in pngs}
+    assert names == {"input.png", "warp.png", "flow.png"}
 
     # hand the pre-trained flow to VESPCN (load_easyflow analogue)
     model = VESPCN(num_frames=3)
