@@ -233,7 +233,11 @@ class Trainer:
         save_every: int = 500,
         log_every: int = 20,
         print_fn=print,
+        mesh=None,
     ) -> TrainState:
+        """`mesh`: a jax.sharding.Mesh for multi-chip training — params
+        replicated, batch sharded over the 'data' axis; XLA inserts the
+        gradient all-reduce from the shardings (SURVEY.md §5.8)."""
         cfg = self.cfg
         if state is None:
             batch0 = pipeline.get_batch()
@@ -243,6 +247,10 @@ class Trainer:
             state = self.init_state(jax.random.PRNGKey(cfg.seed), np.asarray(lr0))
             if cfg.reload:
                 state = self.restore(state)
+        if mesh is not None:
+            from pfnl_tpu.parallel.mesh import replicate
+
+            state = replicate(state, mesh)
         max_steps = max_steps or cfg.max_step
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
@@ -262,6 +270,10 @@ class Trainer:
                 print_fn(f"cost {time.time() - t0}s.")
                 t0 = time.time()
             batch = pipeline.get_batch()
+            if mesh is not None:
+                from pfnl_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
             key = jax.random.fold_in(base_key, step)
             state, losses = self.step_fn(stage)(state, batch, key)
             loss_v = float(losses["loss"])

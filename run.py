@@ -71,7 +71,15 @@ def cmd_train(args):
                 variables["batch_stats"] = state.batch_stats
             ev.run(variables, step, log_path=cfg.log_path)
 
-    tr.fit(pipe, max_steps=args.steps, eval_fn=eval_fn, save_every=args.save_every)
+    mesh = None
+    if args.dp > 1 or args.sp > 1:
+        from pfnl_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_space=args.sp)
+        if cfg.batch_size % args.dp:
+            raise SystemExit(f"batch {cfg.batch_size} not divisible by dp={args.dp}")
+    tr.fit(pipe, max_steps=args.steps, eval_fn=eval_fn,
+           save_every=args.save_every, mesh=mesh)
     pipe.close()
 
 
@@ -186,6 +194,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--save-every", type=int, default=500)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size (batch axis)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial mesh size (non-local context parallelism)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval")
