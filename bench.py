@@ -107,9 +107,13 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
     return 1.0 / dt
 
 
-# per-model temporal window (reference configs, SURVEY.md §0)
+# per-model temporal window (reference configs, SURVEY.md §0) and the
+# largest 720p batch that fits one v5e chip (frvsr unrolls 10 steps and
+# duf carries 52 dense-3D layers — batch 16 crashes the worker)
 _MODEL_FRAMES = {"pfnl": 7, "vespcn": 3, "ltdvsr": 5, "mcresnet": 5,
                  "drvsr": 3, "frvsr": 10, "duf": 7}
+_MODEL_BATCH = {"pfnl": 16, "vespcn": 16, "ltdvsr": 16, "mcresnet": 16,
+                "drvsr": 4, "frvsr": 1, "duf": 2}
 
 
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
@@ -164,13 +168,14 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
     return fps
 
 
-def bench_all(hw: str = "180x320", steps: int = 10, batch: int = 8,
+def bench_all(hw: str = "180x320", steps: int = 10, batch: int = None,
               dtype: str = "bfloat16"):
     """One JSON line per model family (the regression matrix artifact)."""
     results = {}
     for model, frames in _MODEL_FRAMES.items():
+        b = batch or _MODEL_BATCH[model]
         try:
-            results[model] = main(model, hw, frames, steps, batch, dtype)
+            results[model] = main(model, hw, frames, steps, b, dtype)
         except Exception as e:  # keep the matrix going; record the failure
             print(json.dumps({"metric": f"HR frames/sec/chip ({model})",
                               "value": None, "unit": "frames/sec",
@@ -186,7 +191,8 @@ if __name__ == "__main__":
     ap.add_argument("--hw", default="180x320")
     ap.add_argument("--frames", type=int, default=7)
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 16, or per-model table with --all")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference fps")
@@ -202,10 +208,10 @@ if __name__ == "__main__":
             if a.train:
                 train_bench(a.model, a.steps, batch=16, frames=a.frames)
             else:
-                main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
+                main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)
     elif a.all:
         bench_all(a.hw, a.steps, a.batch, a.dtype)
     elif a.train:
         train_bench(a.model, a.steps, batch=16, frames=a.frames)
     else:
-        main(a.model, a.hw, a.frames, a.steps, a.batch, a.dtype)
+        main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)

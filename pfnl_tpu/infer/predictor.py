@@ -132,7 +132,10 @@ class Predictor:
         return all_time
 
     # --- Y-channel path (vespcn family) ---------------------------------
-    def _run_y_frames(self, lrs: np.ndarray, save_path: str):
+    def _run_y_frames(self, lrs: np.ndarray, save_path: str, part: int = 1000):
+        """Window-BATCHED Y-channel inference (the reference runs these
+        models one frame per sess.run, vespcn.py:330-346 — batching is a
+        conscious chip-throughput improvement; outputs are identical)."""
         cfg = self.cfg
         t = cfg.num_frames
         max_frame, h, w, _ = lrs.shape
@@ -140,12 +143,14 @@ class Predictor:
         padw = (-w) % 4
         lrs_p = np.pad(lrs, [[0, 0], [0, padh], [0, padw], [0, 0]], "edge")
         windows = _clipped_windows(max_frame, t)
-        fwd = self._forward()
         out_h, out_w = h * cfg.scale, w * cfg.scale
+        part = min(part, max(max_frame, 1))
+        num_once = max_frame // part + (0 if max_frame % part == 0 else 1)
+        num_once = min(max(num_once, self.batch_windows), max(max_frame, 1))
 
         @jax.jit
         def rgb_of(v, clip):
-            sr_y = self.model.apply(v, clip)["sr"][:, -1]  # [1,H',W',1]
+            sr_y = self.model.apply(v, clip)["sr"][:, -1]  # [B,H',W',1]
             center = clip[:, t // 2]
             ycc = rgb2ycbcr(center)
             cbcr = resize_bicubic(ycc, (sr_y.shape[1], sr_y.shape[2]))[..., 1:3]
@@ -154,15 +159,21 @@ class Predictor:
         print(f"Save at {save_path}")
         print(f"{max_frame} Inputs With Shape {lrs.shape[1:]}")
         all_time = []
-        for idx0 in range(max_frame):
-            clip = lrs_p[windows[idx0]][None]  # [1,T,h',w',3]
+        n_chunks = (max_frame + num_once - 1) // num_once
+        for i in range(n_chunks):
+            sel = windows[i * num_once : (i + 1) * num_once]
+            pad = num_once - sel.shape[0]
+            if pad:
+                sel = np.concatenate([sel, sel[-1:].repeat(pad, 0)])
+            batch = lrs_p[sel]  # [num_once, T, h', w', 3]
             st = time.time()
-            rgb = np.asarray(rgb_of(self.variables, jnp.asarray(clip)))
+            rgb = np.asarray(rgb_of(self.variables, jnp.asarray(batch)))
             all_time.append(time.time() - st)
-            imsave(
-                os.path.join(save_path, f"{idx0:0>4}.png"),
-                to_uint8_img(rgb[0, :out_h, :out_w]),
-            )
+            for j in range(rgb.shape[0] - pad):
+                imsave(
+                    os.path.join(save_path, f"{i * num_once + j:0>4}.png"),
+                    to_uint8_img(rgb[j, :out_h, :out_w]),
+                )
         all_time = np.array(all_time)
         if max_frame > 0:
             avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
@@ -202,7 +213,7 @@ class Predictor:
         if self.cfg.model == "frvsr":
             return self._run_recurrent(lrs, save_path)
         if self.cfg.model in _Y_MODELS:
-            return self._run_y_frames(lrs, save_path)
+            return self._run_y_frames(lrs, save_path, part)
         return self._run_windows(lrs, save_path, part)
 
     def test_video_truth(self, path: str, name: str = "result", part: int = 1000):
