@@ -136,17 +136,40 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
     )
     init_kw = {"is_train": False} if model == "duf" else {}
     variables = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, **init_kw))()
-    # HR frames emitted per window (recurrent models emit one per input)
-    out_frames = int(m.apply(variables, x[:1], **init_kw)["sr"].shape[1])
 
-    @jax.jit
-    def chained(variables, x):
-        def body(carry, _):
-            out = m.apply(variables, x + carry * 1e-12, **init_kw)["sr"]
-            return jnp.mean(out.astype(jnp.float32)), None
+    if model == "frvsr":
+        # the production inference path is the STREAMING step (O(1) state,
+        # model/frvsr.py:279-303) — scan it over the frames, batched
+        out_frames = frames
 
-        s, _ = lax.scan(body, jnp.float32(0.0), None, length=steps)
-        return s
+        @jax.jit
+        def chained(variables, x):
+            def frame_body(carry, xt):
+                xp, est = carry
+                sr = m.apply(variables, xt, xp, est, method=m.step)
+                return (xt, sr), jnp.mean(sr.astype(jnp.float32))
+
+            def body(c, _):
+                x0 = x[:, 0] + c * 1e-12
+                sr0 = m.apply(variables, x0, method=m.step)
+                _, means = lax.scan(
+                    frame_body, (x0, sr0), jnp.moveaxis(x[:, 1:], 1, 0))
+                return jnp.mean(means), None
+
+            s, _ = lax.scan(body, jnp.float32(0.0), None, length=steps)
+            return s
+    else:
+        # HR frames emitted per window (multi-output models emit several)
+        out_frames = int(m.apply(variables, x[:1], **init_kw)["sr"].shape[1])
+
+        @jax.jit
+        def chained(variables, x):
+            def body(carry, _):
+                out = m.apply(variables, x + carry * 1e-12, **init_kw)["sr"]
+                return jnp.mean(out.astype(jnp.float32)), None
+
+            s, _ = lax.scan(body, jnp.float32(0.0), None, length=steps)
+            return s
 
     dt_total = _time_chained(chained, variables, x)
     dt = dt_total / steps

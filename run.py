@@ -24,6 +24,18 @@ def _common(p):
     p.add_argument("--in-size", type=int, default=None)
     p.add_argument("--eval-in-size", default=None,
                    help="HxW of eval crops at LR, e.g. 128x240")
+    p.add_argument("--matmul-precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="jax default matmul/conv precision; use 'highest' "
+                        "for parity sweeps (some TPU environments lower "
+                        "f32 convs to bf16 otherwise)")
+
+
+def _apply_precision(args):
+    if getattr(args, "matmul_precision", None):
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
 
 def _cfg_from_args(args, **extra):
@@ -42,6 +54,7 @@ def _cfg_from_args(args, **extra):
 
 
 def cmd_train(args):
+    _apply_precision(args)
     import jax
     from pfnl_tpu.data.manifest import load_manifest
     from pfnl_tpu.data.pipeline import TrainPipeline
@@ -84,6 +97,7 @@ def cmd_train(args):
 
 
 def cmd_eval(args):
+    _apply_precision(args)
     from pfnl_tpu.eval.evaluator import Evaluator
     from pfnl_tpu.train.trainer import Trainer
 
@@ -109,6 +123,7 @@ def _restored_state(tr, cfg):
 
 
 def cmd_test(args):
+    _apply_precision(args)
     from pfnl_tpu.infer.predictor import Predictor
     from pfnl_tpu.train.trainer import Trainer
 
@@ -141,6 +156,7 @@ def cmd_parity(args):
     """One-command parity sweep: run inference over a dataset dir of
     truth-only sequences, then print the MATLAB-equivalent Y-channel
     PSNR/SSIM table (the README table layout)."""
+    _apply_precision(args)
     from pfnl_tpu.eval.tables import dataset_table
 
     name = args.name or f"{args.model}_parity"
