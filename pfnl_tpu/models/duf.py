@@ -58,21 +58,15 @@ class Conv3D(nn.Module):
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
         elif self.pad == "hw":
             x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-        # decompose the 3-D conv into 2-D convs with T folded into batch —
-        # XLA's TPU Conv3D lowering is far slower than its 2-D path; the
-        # temporal kernel is a sum of kt time-shifted 2-D convs (exact)
-        n, d, hh, ww, c = x.shape
-        dout = d - kt + 1
-        wk = w.astype(x.dtype)
-        y = None
-        for dt in range(kt):
-            xs = x[:, dt:dt + dout].reshape(n * dout, hh, ww, c)
-            yt = lax.conv_general_dilated(
-                xs, wk[dt], (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            y = yt if y is None else y + yt
-        y = y.reshape(n, dout, y.shape[1], y.shape[2], self.features)
+        # Native Conv3D throughout.  Measured end-to-end alternatives on
+        # v5e (720p batch 1): time-shifted 2-D decomposition 2.4 fps,
+        # kt=1-only fold 3.3 fps, native 3-D 5.5 fps — mixing 2-D and 3-D
+        # conv layouts inserts relayout copies between every dense-block
+        # layer that cost more than the Conv3D lowering loses.
+        y = lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)

@@ -21,7 +21,7 @@ import flax.linen as nn
 from pfnl_tpu.models.flows import FRVSRFlow
 from pfnl_tpu.ops.resize import resize_bilinear
 from pfnl_tpu.ops.shuffle import space_to_depth
-from pfnl_tpu.ops.warp import forward_warp
+from pfnl_tpu.ops.warp import forward_warp_local
 
 
 class FRVSR(nn.Module):
@@ -57,7 +57,9 @@ class FRVSR(nn.Module):
         fold back to the LR grid (model/frvsr.py:98-104)."""
         hh, ww = est.shape[1], est.shape[2]
         upuv = resize_bilinear(uv, (hh, ww))
-        warp_est = forward_warp(est, upuv, (hh, ww))
+        # flow is tanh-bounded and UNSCALED by the resize -> |uv|<=1:
+        # the scatter-free local splat applies (exact)
+        warp_est = forward_warp_local(est, upuv, max_disp=1)
         return space_to_depth(warp_est, self.scale)
 
     def step(self, x, xp=None, est=None):
@@ -81,7 +83,7 @@ class FRVSR(nn.Module):
             else:
                 xp = frames_lr[:, i - 1]
                 uv = self.flownet(x, xp)
-                warps.append(forward_warp(xp, uv, (h, w)))
+                warps.append(forward_warp_local(xp, uv, max_disp=1))
                 est_lr = self._upscale_warp(uv, sr)
                 sr = self._trunk(jnp.concatenate([x, est_lr], axis=-1), first=False)
             srs.append(sr)

@@ -167,3 +167,27 @@ def test_resize_5d(rng):
     assert y.shape == (2, 3, 8, 8, 3)
     y0 = np.asarray(resize_images(x[:, 0], (8, 8), "bilinear"))
     np.testing.assert_allclose(y[:, 0], y0, atol=1e-6)
+
+
+def test_forward_warp_local_matches_segment_sum(rng):
+    """Scatter-free bounded splat == the segment-sum splat (incl. the
+    accumulate-at-border clipping), |uv| <= 1."""
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
+
+    im = jnp.asarray(rng.random((2, 13, 17, 3)).astype(np.float32))
+    uv = jnp.asarray((rng.random((2, 13, 17, 2)) * 2 - 1).astype(np.float32))
+    ref = np.asarray(forward_warp(im, uv))
+    got = np.asarray(forward_warp_local(im, uv, max_disp=1))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # exact +/-1 integer flow (floor boundary) and 5-D folding
+    uv1 = jnp.asarray(rng.integers(-1, 2, (2, 13, 17, 2)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(forward_warp_local(im, uv1, 1)),
+        np.asarray(forward_warp(im, uv1)), atol=1e-5)
+    im5 = im.reshape(1, 2, 13, 17, 3)
+    uv5 = uv.reshape(1, 2, 13, 17, 2)
+    np.testing.assert_allclose(
+        np.asarray(forward_warp_local(im5, uv5, 1)),
+        np.asarray(forward_warp(im5, uv5)), atol=1e-5)
