@@ -113,7 +113,7 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
 _MODEL_FRAMES = {"pfnl": 7, "vespcn": 3, "ltdvsr": 5, "mcresnet": 5,
                  "drvsr": 3, "frvsr": 10, "duf": 7}
 _MODEL_BATCH = {"pfnl": 16, "vespcn": 16, "ltdvsr": 16, "mcresnet": 16,
-                "drvsr": 4, "frvsr": 1, "duf": 2}
+                "drvsr": 4, "frvsr": 4, "duf": 1}
 
 
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,

@@ -440,4 +440,17 @@ def _fwd(feat, params_list):
     return out, (feats, i1s, bases, params_list)
 
 
-pfrb_chain_pack.defvjp(_fwd, _chain_manual_bwd)
+def _chain_bwd_dispatch(res, g):
+    """Pallas backward kernels on TPU; the manual XLA gradient elsewhere
+    (both consume the same saved packed activations — no recompute)."""
+    if jax.default_backend() == "tpu":
+        from pfnl_tpu.ops.pallas.pfrb_bwd import chain_bwd_pallas
+
+        feats_p, i1s_p, bases_p, params_list = res
+        n, t, h, w, c = g.shape
+        return chain_bwd_pallas(feats_p, i1s_p, bases_p, params_list, g,
+                                h, w, pick_rows(h), pick_tb(t))
+    return _chain_manual_bwd(res, g)
+
+
+pfrb_chain_pack.defvjp(_fwd, _chain_bwd_dispatch)

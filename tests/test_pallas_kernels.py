@@ -132,3 +132,37 @@ def test_pfrb_chain_gradient(rng):
 
     gp = jax.grad(lambda f: jnp.sum(pfrb_chain_pack(f, params) ** 2))(feat)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-4)
+
+
+def test_pfrb_pallas_backward_matches_autodiff(rng):
+    """Pallas backward kernels (chain_bwd_pallas) vs jax.grad of the XLA
+    chain — data and all parameter gradients (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.pallas.pfrb_bwd import chain_bwd_pallas
+    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_pack import (
+        _chain_pack_run, pick_rows, pick_tb,
+    )
+
+    c, t, h, w = 64, 3, 10, 14
+    feat = jnp.asarray(rng.standard_normal((1, t, h, w, c)).astype(np.float32)) * 0.1
+    params = [
+        tuple(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.05
+            for s in [(3, 3, c, c), (c,), (t, c, c), (c,), (3, 3, c, c),
+                      (3, 3, c, c), (c,)]
+        )
+        for _ in range(2)
+    ]
+    out, (feats, i1s, bases) = _chain_pack_run(feat, params, collect=True)
+    g = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+    df, dps = chain_bwd_pallas(feats, i1s, bases, params, g, h, w,
+                               pick_rows(h), pick_tb(t))
+    gf, gps = jax.grad(
+        lambda f, ps: jnp.sum(pfrb_chain_xla(f, ps) * g), argnums=(0, 1)
+    )(feat, params)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(gf), atol=1e-4)
+    for k in range(2):
+        for a, b in zip(dps[k], gps[k]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
