@@ -61,8 +61,9 @@ def unpack_pair_grad(dwp, c=64, f=64):
 def _wgrad_dot(t3, dco):
     """t3 [Lp, 6C] x conv-output cotangent dco [Lp, 2F] -> packed dW
     [6C, 4F]; dO rebuilt as [dco | roll(dco, +1)] (transpose of the
-    forward output roll)."""
-    do = jnp.concatenate([dco, pltpu.roll(dco, 1, 0)], axis=-1)
+    forward output roll; Mosaic rotates 32-bit data only, so roll f32)."""
+    rolled = pltpu.roll(dco.astype(jnp.float32), 1, 0).astype(dco.dtype)
+    do = jnp.concatenate([dco, rolled], axis=-1)
     return jax.lax.dot_general(
         t3, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_prec(t3.dtype),
