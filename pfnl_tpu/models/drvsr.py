@@ -20,7 +20,7 @@ from pfnl_tpu.models.flows import EasyFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.convlstm import ConvLSTMCell
 from pfnl_tpu.ops.resize import resize_bicubic
-from pfnl_tpu.ops.warp import forward_warp
+from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 
 _xavier = nn.initializers.glorot_uniform
 
@@ -73,7 +73,8 @@ class DRVSR(nn.Module):
         ref_rep = jnp.broadcast_to(ref_y[:, None], (n, t, h, w, 1)).reshape(n * t, h, w, 1)
         uv = self.flownet(flat, ref_rep)
         warped_hr = forward_warp(flat, uv, (out_h, out_w)).reshape(n, t, out_h, out_w, 1)
-        warped_lr = forward_warp(flat, uv, (h, w)).reshape(n, t, h, w, 1)
+        # the LR-grid flow-loss warp is EasyFlow-bounded (|uv| <= 2)
+        warped_lr = forward_warp_local(flat, uv, max_disp=2).reshape(n, t, h, w, 1)
         uv = uv.reshape(n, t, h, w, 2)
 
         state0 = ConvLSTMCell.zero_state(n, out_h // 4, out_w // 4, 128, frames_lr.dtype)

@@ -16,7 +16,7 @@ from pfnl_tpu.models.flows import LTDFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.resize import resize_bilinear
 from pfnl_tpu.ops.shuffle import depth_to_space
-from pfnl_tpu.ops.warp import forward_warp
+from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 
 
 class LTDVSR(nn.Module):
@@ -55,7 +55,8 @@ class LTDVSR(nn.Module):
         flat = frames_y.reshape(n * t, h, w, 1)
         ref_rep = jnp.broadcast_to(ref_y[:, None], (n, t, h, w, 1)).reshape(n * t, h, w, 1)
         uv = self.flownet(flat, ref_rep)
-        warped = forward_warp(flat, uv, (h, w)).reshape(n, t, h, w, 1)
+        # LTDFlow ends in tanh -> |uv| <= 1: scatter-free local splat
+        warped = forward_warp_local(flat, uv, max_disp=1).reshape(n, t, h, w, 1)
         uv = uv.reshape(n, t, h, w, 2)
 
         def cat(lo, hi):  # concat warped frames [lo, hi) along channels

@@ -20,7 +20,7 @@ from pfnl_tpu.models.flows import EasyFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.resize import resize_bicubic
 from pfnl_tpu.ops.shuffle import pixel_shuffle_legacy
-from pfnl_tpu.ops.warp import forward_warp
+from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 
 
 class MCResNet(nn.Module):
@@ -52,7 +52,8 @@ class MCResNet(nn.Module):
         flat = frames_y.reshape(n * t, h, w, 1)
         ref_rep = jnp.broadcast_to(ref_y[:, None], (n, t, h, w, 1)).reshape(n * t, h, w, 1)
         uv = self.flownet(flat, ref_rep)
-        warped = forward_warp(flat, uv, (h, w)).reshape(n, t, h, w, 1)
+        # EasyFlow = two tanh stages -> |uv| <= 2: scatter-free local splat
+        warped = forward_warp_local(flat, uv, max_disp=2).reshape(n, t, h, w, 1)
         uv = uv.reshape(n, t, h, w, 2)
 
         # distance-shared encoders

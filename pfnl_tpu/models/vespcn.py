@@ -20,7 +20,7 @@ from pfnl_tpu.models.flows import EasyFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.resize import resize_bicubic
 from pfnl_tpu.ops.shuffle import pixel_shuffle_legacy
-from pfnl_tpu.ops.warp import forward_warp
+from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 
 
 class VESPCN(nn.Module):
@@ -50,7 +50,8 @@ class VESPCN(nn.Module):
         flat = frames_y.reshape(n * t, h, w, 1)
         ref_rep = jnp.broadcast_to(ref_y[:, None], (n, t, h, w, 1)).reshape(n * t, h, w, 1)
         uv = self.flownet(flat, ref_rep)  # [N*T,h,w,2]
-        warped = forward_warp(flat, uv, (h, w))  # [N*T,h,w,1]
+        # EasyFlow = two tanh stages -> |uv| <= 2: scatter-free local splat
+        warped = forward_warp_local(flat, uv, max_disp=2)  # [N*T,h,w,1]
         uv = uv.reshape(n, t, h, w, 2)
         sr_input = warped.reshape(n, t, h, w, 1).transpose(0, 2, 3, 1, 4).reshape(n, h, w, t)
 

@@ -191,3 +191,15 @@ def test_forward_warp_local_matches_segment_sum(rng):
     np.testing.assert_allclose(
         np.asarray(forward_warp_local(im5, uv5, 1)),
         np.asarray(forward_warp(im5, uv5)), atol=1e-5)
+
+
+def test_forward_warp_local_r2(rng):
+    """max_disp=2 local splat (the EasyFlow bound) == segment-sum splat."""
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
+
+    im = jnp.asarray(rng.random((2, 11, 15, 1)).astype(np.float32))
+    uv = jnp.asarray((rng.random((2, 11, 15, 2)) * 4 - 2).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(forward_warp_local(im, uv, max_disp=2)),
+        np.asarray(forward_warp(im, uv)), atol=1e-5)
