@@ -72,6 +72,10 @@ class DRVSR(nn.Module):
         flat = frames_y.reshape(n * t, h, w, 1)
         ref_rep = jnp.broadcast_to(ref_y[:, None], (n, t, h, w, 1)).reshape(n * t, h, w, 1)
         uv = self.flownet(flat, ref_rep)
+        # SPMC HR splat stays on segment_sum: the LR source count is small
+        # enough that the scatter (27 ms/step) beats the 400-term
+        # phase-grouped shift-add variant (measured 2x slower end-to-end;
+        # ops/warp.py::forward_warp_local_spmc kept for reference)
         warped_hr = forward_warp(flat, uv, (out_h, out_w)).reshape(n, t, out_h, out_w, 1)
         # the LR-grid flow-loss warp is EasyFlow-bounded (|uv| <= 2)
         warped_lr = forward_warp_local(flat, uv, max_disp=2).reshape(n, t, h, w, 1)

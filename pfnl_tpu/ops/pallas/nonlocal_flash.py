@@ -77,7 +77,7 @@ def nonlocal_flash(
     theta: jax.Array,
     phi: jax.Array,
     g: jax.Array,
-    bq: int = 512,
+    bq: int = 1024,
     bk: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:

@@ -139,6 +139,81 @@ def forward_warp_local(im: jax.Array, uv: jax.Array, max_disp: int = 1) -> jax.A
     return out
 
 
+def forward_warp_local_spmc(im: jax.Array, uv: jax.Array, scale: int,
+                            max_disp: int = 2) -> jax.Array:
+    """SPMC upscale-while-warp splat for BOUNDED flows (|uv| <= max_disp
+    at the input resolution), out = scale * in — equivalent to
+    `forward_warp(im, uv, (h*scale, w*scale))` but scatter-free.
+
+    Each source LR pixel p targets HR cells s*p + d with
+    d in [-s*R, s*R+1]; grouping targets by their HR phase (d mod s)
+    turns the splat into (2R+1)^2 LR shift-adds PER PHASE, assembled by a
+    phase interleave, with the HR margins folded onto the border (= the
+    reference's index clipping).  DRVSR's EasyFlow-driven SPMC qualifies
+    with R=2 (tanh-bounded two-stage flow).
+
+    STATUS: exact (tested), but measured SLOWER than the segment-sum
+    splat in DRVSR end-to-end on v5e — XLA does not fuse the 400-term
+    masked add chain; DRVSR keeps segment_sum.  Kept as the starting
+    point for a Pallas version if SPMC ever dominates a profile."""
+    im, fold = _fold5d(im)
+    uv, _ = _fold5d(uv)
+    b, h, w, c = im.shape
+    s = int(scale)
+    r = int(max_disp)
+    pl_ = r + 1
+    uvf = uv.astype(jnp.float32)
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    # reference coordinate scaling (videosr_ops.py:407-408; ratios equal)
+    x = (gx + uvf[..., 0]) * s
+    y = (gy + uvf[..., 1]) * s
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wa = (x0f + 1.0 - x) * (y0f + 1.0 - y)
+    wb = (x0f + 1.0 - x) * (y - y0f)
+    wc = (x - x0f) * (y0f + 1.0 - y)
+    wd = (x - x0f) * (y - y0f)
+    dx0 = (x0f - s * gx).astype(jnp.int32)
+    dy0 = (y0f - s * gy).astype(jnp.int32)
+
+    imf = im.astype(jnp.float32)
+    h2, w2 = h + 2 * pl_, w + 2 * pl_
+    phases = []
+    for py in range(s):
+        for px in range(s):
+            canvas = jnp.zeros((b, h2, w2, c), jnp.float32)
+            for ey in range(-r, r + 1):
+                dy = s * ey + py
+                iy0 = (dy0 == dy).astype(jnp.float32)
+                iy1 = (dy0 == dy - 1).astype(jnp.float32)
+                for ex in range(-r, r + 1):
+                    dx = s * ex + px
+                    ix0 = (dx0 == dx).astype(jnp.float32)
+                    ix1 = (dx0 == dx - 1).astype(jnp.float32)
+                    m = (wa * iy0 * ix0 + wb * iy1 * ix0
+                         + wc * iy0 * ix1 + wd * iy1 * ix1)
+                    canvas = canvas.at[
+                        :, pl_ + ey:pl_ + ey + h, pl_ + ex:pl_ + ex + w, :
+                    ].add(imf * m[..., None])
+            phases.append(canvas)
+    ph = jnp.stack(phases).reshape(s, s, b, h2, w2, c)
+    hr = ph.transpose(2, 3, 0, 4, 1, 5).reshape(b, h2 * s, w2 * s, c)
+    m_ = pl_ * s
+    oh, ow = h * s, w * s
+    mid = hr[:, m_:m_ + oh]
+    mid = mid.at[:, 0].add(hr[:, :m_].sum(axis=1))
+    mid = mid.at[:, oh - 1].add(hr[:, m_ + oh:].sum(axis=1))
+    out = mid[:, :, m_:m_ + ow]
+    out = out.at[:, :, 0].add(mid[:, :, :m_].sum(axis=2))
+    out = out.at[:, :, ow - 1].add(mid[:, :, m_ + ow:].sum(axis=2))
+    out = out.astype(im.dtype)
+    if fold is not None:
+        n, t = fold
+        out = out.reshape(n, t, oh, ow, c)
+    return out
+
+
 def forward_warp(im: jax.Array, uv: jax.Array, out_size=None) -> jax.Array:
     """Bilinear splat-warp (reference imwarp_forward,
     modules/videosr_ops.py:399-503).

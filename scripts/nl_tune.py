@@ -1,8 +1,11 @@
 """Tune the flash non-local kernel's block sizes at PFNL bench shapes
 (N = M = 14400, D = 84->128, batch 16)."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

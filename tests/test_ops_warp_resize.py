@@ -203,3 +203,15 @@ def test_forward_warp_local_r2(rng):
     np.testing.assert_allclose(
         np.asarray(forward_warp_local(im, uv, max_disp=2)),
         np.asarray(forward_warp(im, uv)), atol=1e-5)
+
+
+def test_forward_warp_local_spmc(rng):
+    """Phase-grouped SPMC local splat == segment-sum SPMC splat."""
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.warp import forward_warp, forward_warp_local_spmc
+
+    im = jnp.asarray(rng.random((2, 9, 13, 1)).astype(np.float32))
+    uv = jnp.asarray((rng.random((2, 9, 13, 2)) * 4 - 2).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(forward_warp_local_spmc(im, uv, 4, max_disp=2)),
+        np.asarray(forward_warp(im, uv, (36, 52))), atol=1e-5)
