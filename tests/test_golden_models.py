@@ -198,6 +198,123 @@ def test_pfnl_golden_numpy():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
+# ---------------------------------------------------------------- LTDVSR
+
+def _np_maxpool2(x):
+    n, h, w, c = x.shape
+    return x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def _np_rgb2y(x):
+    scale = np.array([65.481, 128.553, 24.966]) / 255.0
+    return (x * scale).sum(-1, keepdims=True) + 16.0 / 255.0
+
+
+def _np_forward_warp_same(im, uv):
+    """Bilinear forward splat, same size, clipped indices (reference
+    imwarp_forward, videosr_ops.py:399-503)."""
+    b, h, w, c = im.shape
+    out = np.zeros_like(im)
+    for bi in range(b):
+        for r in range(h):
+            for cc in range(w):
+                x = cc + uv[bi, r, cc, 0]
+                y = r + uv[bi, r, cc, 1]
+                x0, y0 = int(np.floor(x)), int(np.floor(y))
+                for (yy, xx, wgt) in (
+                    (y0, x0, (x0 + 1 - x) * (y0 + 1 - y)),
+                    (y0 + 1, x0, (x0 + 1 - x) * (y - y0)),
+                    (y0, x0 + 1, (x - x0) * (y0 + 1 - y)),
+                    (y0 + 1, x0 + 1, (x - x0) * (y - y0)),
+                ):
+                    out[bi, min(max(yy, 0), h - 1), min(max(xx, 0), w - 1)] += (
+                        wgt * im[bi, r, cc]
+                    )
+    return out
+
+
+def ltdvsr_oracle(x, p, t=5, scale=4):
+    """Reference LTDVSR forward (model/ltdvsr.py:51-149) in numpy."""
+    n, _, h, w, _ = x.shape
+    idx0 = t // 2
+    y = _np_rgb2y(x)                                    # [N,T,h,w,1]
+    flat = y.reshape(n * t, h, w, 1)
+    ref = np.repeat(y[:, idx0:idx0 + 1], t, 1).reshape(n * t, h, w, 1)
+    # inline pooled flow net (ltdvsr.py:136-149)
+    f = np.concatenate([ref, flat], -1)
+    f = np.maximum(np_conv2d(f, p["fk0"], p["fb0"]), 0)
+    f = _np_maxpool2(f)
+    f = np.maximum(np_conv2d(f, p["fk1"], p["fb1"]), 0)
+    f = _np_maxpool2(f)
+    f = np_resize_tf1(f, h, w, method="bilinear")
+    uv = np.tanh(np_conv2d(f, p["fk2"], p["fb2"]))
+    warped = _np_forward_warp_same(flat, uv).reshape(n, t, h, w, 1)
+
+    def branch(b, lo, hi):
+        xx = warped[:, lo:hi].transpose(0, 2, 3, 1, 4).reshape(n, h, w, hi - lo)
+        xx = np.maximum(np_conv2d(xx, p[f"b{b}k0"], p[f"b{b}b0"]), 0)
+        xx = np.maximum(np_conv2d(xx, p[f"b{b}k1"], p[f"b{b}b1"]), 0)
+        xx = np.maximum(np_conv2d(xx, p[f"b{b}k3"], p[f"b{b}b3"]), 0)
+        xx = np_conv2d(xx, p[f"b{b}k2"], p[f"b{b}b2"])
+        return np_d2s(xx, scale)
+
+    est = [branch(0, idx0, idx0 + 1), branch(1, idx0 - 1, idx0 + 2),
+           branch(2, idx0 - 2, idx0 + 3)]
+
+    bil = np_resize_tf1(y.reshape(n * t, h, w, 1), h * scale, w * scale,
+                        method="bilinear").reshape(n, t, h * scale, w * scale, 1)
+    tem = bil.transpose(0, 2, 3, 1, 4).reshape(n, h * scale, w * scale, t)
+    tem = np.maximum(np_conv2d(tem, p["tk0"], p["tb0"]), 0)
+    tem = np.maximum(np_conv2d(tem, p["tk1"], p["tb1"]), 0)
+    logits = np_conv2d(tem, p["tk2"], p["tb2"])
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    wgt = e / e.sum(-1, keepdims=True)
+    return sum(est[i] * wgt[..., i:i + 1] for i in range(3))
+
+
+def test_ltdvsr_golden_numpy():
+    from pfnl_tpu.models.ltdvsr import LTDVSR
+
+    rng = np.random.default_rng(11)
+    t, h, w = 5, 8, 8
+    x = rng.random((1, t, h, w, 3))
+
+    def W(*shape, s=0.1):
+        return rng.standard_normal(shape) * s
+
+    p = dict(
+        fk0=W(9, 9, 2, 32), fb0=W(32), fk1=W(9, 9, 32, 32), fb1=W(32),
+        fk2=W(3, 3, 32, 2), fb2=W(2),
+        tk0=W(5, 5, t, 32), tb0=W(32), tk1=W(5, 5, 32, 16), tb1=W(16),
+        tk2=W(5, 5, 16, 3), tb2=W(3),
+    )
+    for b, cin in ((0, 1), (1, 3), (2, 5)):
+        p[f"b{b}k0"], p[f"b{b}b0"] = W(5, 5, cin, 64), W(64)
+        p[f"b{b}k1"], p[f"b{b}b1"] = W(3, 3, 64, 64), W(64)
+        p[f"b{b}k3"], p[f"b{b}b3"] = W(3, 3, 64, 64), W(64)
+        p[f"b{b}k2"], p[f"b{b}b2"] = W(3, 3, 64, 16), W(16)
+
+    want = ltdvsr_oracle(x, p)
+
+    model = LTDVSR(num_frames=t)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32))
+    params = variables["params"]
+    params["flow"]["conv0"] = {"kernel": p["fk0"], "bias": p["fb0"]}
+    params["flow"]["conv1"] = {"kernel": p["fk1"], "bias": p["fb1"]}
+    params["flow"]["conv2"] = {"kernel": p["fk2"], "bias": p["fb2"]}
+    for b in range(3):
+        for i in (0, 1, 3, 2):
+            params[f"conv{b}_{i}"] = {"kernel": p[f"b{b}k{i}"],
+                                      "bias": p[f"b{b}b{i}"]}
+    for i, (kk, bb) in enumerate((("tk0", "tb0"), ("tk1", "tb1"), ("tk2", "tb2"))):
+        params[f"tem{i}"] = {"kernel": p[kk], "bias": p[bb]}
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x, jnp.float32))["sr"])[:, 0]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 # ---------------------------------------------------------------- FRVSR
 
 def frvsr_first_step_oracle(x, p, nb, mf):
