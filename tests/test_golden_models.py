@@ -198,6 +198,146 @@ def test_pfnl_golden_numpy():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
+# ---------------------------------------------------------------- VESPCN
+
+def np_conv2d_s2(x, k, b):
+    """TF-SAME stride-2 conv (asymmetric pad: begin=total//2)."""
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = k.shape
+    oh, ow = -(-h // 2), -(-w // 2)
+    pt = max((oh - 1) * 2 + kh - h, 0)
+    pl = max((ow - 1) * 2 + kw - w, 0)
+    xp = np.pad(x, ((0, 0), (pt // 2, pt - pt // 2), (pl // 2, pl - pl // 2),
+                    (0, 0)))
+    out = np.zeros((n, oh, ow, cout))
+    for dy in range(kh):
+        for dx in range(kw):
+            out += xp[:, dy:dy + 2 * oh:2, dx:dx + 2 * ow:2, :] @ k[dy, dx]
+    return out + b
+
+
+def _np_backward_warp_clip(im, uv):
+    """Bilinear gather warp, output clipped to [0,1] (imwarp_backward)."""
+    b, h, w, c = im.shape
+    out = np.zeros_like(im)
+    for bi in range(b):
+        for r in range(h):
+            for cc in range(w):
+                x = cc + uv[bi, r, cc, 0]
+                y = r + uv[bi, r, cc, 1]
+                x0, y0 = int(np.floor(x)), int(np.floor(y))
+                acc = 0.0
+                for (yy, xx, wgt) in (
+                    (y0, x0, (x0 + 1 - x) * (y0 + 1 - y)),
+                    (y0 + 1, x0, (x0 + 1 - x) * (y - y0)),
+                    (y0, x0 + 1, (x - x0) * (y0 + 1 - y)),
+                    (y0 + 1, x0 + 1, (x - x0) * (y - y0)),
+                ):
+                    acc = acc + wgt * im[bi, min(max(yy, 0), h - 1),
+                                         min(max(xx, 0), w - 1)]
+                out[bi, r, cc] = acc
+    return np.clip(out, 0.0, 1.0)
+
+
+def np_prelu(x, a):
+    """reference modules/videosr_ops.py:44-51."""
+    return np.maximum(x, 0) + a * (x - np.abs(x)) * 0.5
+
+
+def np_easyflow(imga, imgb, p):
+    """Reference EASYFLOW forward (modules/model_easyflow.py:64-106)."""
+    n, h, w, _ = imga.shape
+    inputs = np.concatenate([imga, imgb], -1)
+    c1 = np.maximum(np_conv2d_s2(inputs, p["c1k"], p["c1b"]), 0)
+    c2 = np.maximum(np_conv2d(c1, p["c2k"], p["c2b"]), 0)
+    c3 = np.maximum(np_conv2d_s2(c2, p["c3k"], p["c3b"]), 0)
+    c4 = np.maximum(np_conv2d(c3, p["c4k"], p["c4b"]), 0)
+    c5 = np.tanh(np_conv2d(c4, p["c5k"], p["c5b"]))       # [n,h/4,w/4,32]
+    c5_hr = c5.reshape(n, h // 4, w // 4, 2, 4, 4)
+    c5_hr = c5_hr.transpose(0, 1, 4, 2, 5, 3).reshape(n, h, w, 2)
+    img_warp = _np_backward_warp_clip(imgb, c5_hr)
+    pack = np.concatenate([inputs, c5_hr, img_warp], -1)
+    s1 = np.maximum(np_conv2d_s2(pack, p["s1k"], p["s1b"]), 0)
+    s2 = np.maximum(np_conv2d(s1, p["s2k"], p["s2b"]), 0)
+    s3 = np.maximum(np_conv2d(s2, p["s3k"], p["s3b"]), 0)
+    s4 = np.maximum(np_conv2d(s3, p["s4k"], p["s4b"]), 0)
+    s5 = np.tanh(np_conv2d(s4, p["s5k"], p["s5b"]))       # [n,h/2,w/2,8]
+    s5_hr = s5.reshape(n, h // 2, w // 2, 2, 2, 2)
+    s5_hr = s5_hr.transpose(0, 1, 4, 2, 5, 3).reshape(n, h, w, 2)
+    return c5_hr + s5_hr
+
+
+def vespcn_oracle(x, p, t=3, scale=4):
+    """Reference VESPCN forward (model/vespcn.py:51-106) in numpy."""
+    n, _, h, w, _ = x.shape
+    idx0 = t // 2
+    y = _np_rgb2y(x)
+    ref = y[:, idx0]
+    bic = np_resize_tf1(ref, h * scale, w * scale, method="bicubic")
+    flat = y.reshape(n * t, h, w, 1)
+    ref_rep = np.repeat(y[:, idx0:idx0 + 1], t, 1).reshape(n * t, h, w, 1)
+    uv = np_easyflow(flat, ref_rep, p)
+    warped = _np_forward_warp_same(flat, uv).reshape(n, t, h, w, 1)
+    sr_in = warped.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t)
+    ai = iter(p["alphas"])
+    xx = np_prelu(np_conv2d(sr_in, p["e1k"], p["e1b"]), next(ai))
+    for i in range(9):
+        xx = np_prelu(np_conv2d(xx, p[f"e2k{i}"], p[f"e2b{i}"]), next(ai))
+    xx = np_prelu(np_conv2d(xx, p["c6k"], p["c6b"]), next(ai))
+    xx = np_d2s(xx, 2)   # _PS proven == depth_to_space (test_ops_color_shuffle)
+    xx = np_conv2d(xx, p["rok"], p["rob"])
+    xx = np_d2s(xx, 2)
+    return xx + bic
+
+
+def test_vespcn_golden_numpy():
+    from pfnl_tpu.models.vespcn import VESPCN
+
+    rng = np.random.default_rng(23)
+    t, h, w = 3, 8, 8
+    x = rng.random((1, t, h, w, 3))
+
+    def W(*shape, s=0.1):
+        return rng.standard_normal(shape) * s
+
+    p = dict(
+        c1k=W(5, 5, 2, 24), c1b=W(24), c2k=W(3, 3, 24, 24), c2b=W(24),
+        c3k=W(5, 5, 24, 24), c3b=W(24), c4k=W(3, 3, 24, 24), c4b=W(24),
+        c5k=W(3, 3, 24, 32), c5b=W(32),
+        s1k=W(5, 5, 5, 24), s1b=W(24), s2k=W(3, 3, 24, 24), s2b=W(24),
+        s3k=W(3, 3, 24, 24), s3b=W(24), s4k=W(3, 3, 24, 24), s4b=W(24),
+        s5k=W(3, 3, 24, 8), s5b=W(8),
+        e1k=W(5, 5, t, 24), e1b=W(24), c6k=W(3, 3, 24, 16), c6b=W(16),
+        rok=W(3, 3, 4, 4), rob=W(4),
+        alphas=[W(24, s=0.3) for _ in range(10)] + [W(16, s=0.3)],
+    )
+    for i in range(9):
+        p[f"e2k{i}"], p[f"e2b{i}"] = W(3, 3, 24, 24), W(24)
+
+    want = vespcn_oracle(x, p)
+
+    model = VESPCN(num_frames=t)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32))
+    params = variables["params"]
+    ef = params["easyflow"]
+    for name, kk in (("c1", "c1"), ("c2", "c2"), ("c3", "c3"), ("c4", "c4"),
+                     ("c5", "c5"), ("s1", "s1"), ("s2", "s2"), ("s3", "s3"),
+                     ("s4", "s4"), ("s5", "s5")):
+        ef[name] = {"kernel": p[kk + "k"], "bias": p[kk + "b"]}
+    params["enc1"] = {"kernel": p["e1k"], "bias": p["e1b"]}
+    for i in range(9):
+        params[f"enc2_{i}"] = {"kernel": p[f"e2k{i}"], "bias": p[f"e2b{i}"]}
+    params["conv6"] = {"kernel": p["c6k"], "bias": p["c6b"]}
+    params["rnn_out"] = {"kernel": p["rok"], "bias": p["rob"]}
+    for i, a in enumerate(p["alphas"]):
+        params[f"prelu_{i}"] = {"alpha": a}
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x, jnp.float32))["sr"])[:, 0]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 # ---------------------------------------------------------------- LTDVSR
 
 def _np_maxpool2(x):
