@@ -12,6 +12,13 @@ so they anchor the full model wiring to an external source of truth:
     the residual trunk and the stride-2 transpose-conv semantics,
     including the TF conv2d_transpose <-> flax ConvTranspose kernel
     mapping (mirror + in/out transpose) that a checkpoint importer needs.
+  * VESPCN forward (model/vespcn.py:51-106 + modules/model_easyflow.py):
+    the two-stage EASYFLOW flow (stride-2 TF-SAME convs, tanh sub-pixel
+    reassembly, clipped backward warp), forward-splat MC, PReLU trunk,
+    _PS shuffles and the bicubic-Y residual; EASYFLOW is shared by
+    MCResNet/DRVSR.
+  * LTDVSR forward (model/ltdvsr.py:51-149): the inline pooled flow,
+    the three temporal branches and the softmax temporal weighting.
 
 Weights are seeded-random but FIXED, injected into the flax params by
 name; the same arrays parameterize the oracle (reshaped to the
