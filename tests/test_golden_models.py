@@ -19,6 +19,8 @@ so they anchor the full model wiring to an external source of truth:
     MCResNet/DRVSR.
   * LTDVSR forward (model/ltdvsr.py:51-149): the inline pooled flow,
     the three temporal branches and the softmax temporal weighting.
+  * MCResNet forward (model/mcresnet.py:49-117): the distance-shared
+    encoders and the odd trunk accumulation quirk.
 
 Weights are seeded-random but FIXED, injected into the flax params by
 name; the same arrays parameterize the oracle (reshaped to the
@@ -338,6 +340,90 @@ def test_vespcn_golden_numpy():
     params["rnn_out"] = {"kernel": p["rok"], "bias": p["rob"]}
     for i, a in enumerate(p["alphas"]):
         params[f"prelu_{i}"] = {"alpha": a}
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x, jnp.float32))["sr"])[:, 0]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- MCResNet
+
+def mcresnet_oracle(x, p, t=5, scale=4):
+    """Reference MCResNet forward (model/mcresnet.py:49-117) in numpy,
+    including the distance-shared encoders and the odd trunk accumulation
+    (merge += conv2, final head from conv2 — mcresnet.py:96-105)."""
+    n, _, h, w, _ = x.shape
+    idx0 = t // 2
+    y = _np_rgb2y(x)
+    ref = y[:, idx0]
+    bic = np_resize_tf1(ref, h * scale, w * scale, method="bicubic")
+    flat = y.reshape(n * t, h, w, 1)
+    ref_rep = np.repeat(y[:, idx0:idx0 + 1], t, 1).reshape(n * t, h, w, 1)
+    uv = np_easyflow(flat, ref_rep, p)
+    warped = _np_forward_warp_same(flat, uv).reshape(n, t, h, w, 1)
+
+    enc = [np_prelu(np_conv2d(warped[:, i], p[f"d{abs(i - idx0)}k"],
+                              p[f"d{abs(i - idx0)}b"]), p["ea"][i])
+           for i in range(t)]
+    merge = np.concatenate(enc, -1)
+    conv2 = merge
+    for i in range(9):
+        conv2 = np_prelu(np_conv2d(merge, p[f"r{i}k"], p[f"r{i}b"]), p["ra"][i])
+        merge = conv2 if i == 0 else merge + conv2
+    xx = np_prelu(np_conv2d(conv2, p["c6k"], p["c6b"]), p["c6a"])
+    xx = np_d2s(xx, 2)
+    xx = np_conv2d(xx, p["rok"], p["rob"])
+    xx = np_d2s(xx, 2)
+    return xx + bic
+
+
+def test_mcresnet_golden_numpy():
+    from pfnl_tpu.models.mcresnet import MCResNet
+
+    rng = np.random.default_rng(31)
+    t, h, w = 5, 8, 8
+    x = rng.random((1, t, h, w, 3))
+
+    def W(*shape, s=0.1):
+        return rng.standard_normal(shape) * s
+
+    p = dict(
+        c1k=W(5, 5, 2, 24), c1b=W(24), c2k=W(3, 3, 24, 24), c2b=W(24),
+        c3k=W(5, 5, 24, 24), c3b=W(24), c4k=W(3, 3, 24, 24), c4b=W(24),
+        c5k=W(3, 3, 24, 32), c5b=W(32),
+        s1k=W(5, 5, 5, 24), s1b=W(24), s2k=W(3, 3, 24, 24), s2b=W(24),
+        s3k=W(3, 3, 24, 24), s3b=W(24), s4k=W(3, 3, 24, 24), s4b=W(24),
+        s5k=W(3, 3, 24, 8), s5b=W(8),
+        c6k=W(3, 3, 32, 16), c6b=W(16), c6a=W(16, s=0.3),
+        rok=W(3, 3, 4, 4), rob=W(4),
+        ea=[W(64, s=0.3) for _ in range(t)],
+        ra=[W(32, s=0.3) for _ in range(9)],
+    )
+    for d in range(t // 2 + 1):
+        p[f"d{d}k"], p[f"d{d}b"] = W(5, 5, 1, 64), W(64)
+    p["r0k"], p["r0b"] = W(3, 3, 64 * t, 32), W(32)
+    for i in range(1, 9):
+        p[f"r{i}k"], p[f"r{i}b"] = W(3, 3, 32, 32), W(32)
+
+    want = mcresnet_oracle(x, p)
+
+    model = MCResNet(num_frames=t)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32))
+    params = variables["params"]
+    ef = params["easyflow"]
+    for name in ("c1", "c2", "c3", "c4", "c5", "s1", "s2", "s3", "s4", "s5"):
+        ef[name] = {"kernel": p[name + "k"], "bias": p[name + "b"]}
+    for d in range(t // 2 + 1):
+        params[f"enc1_{d}"] = {"kernel": p[f"d{d}k"], "bias": p[f"d{d}b"]}
+    for i in range(t):
+        params[f"enc1_prelu_{i}"] = {"alpha": p["ea"][i]}
+    for i in range(9):
+        params[f"enc2_{i}"] = {"kernel": p[f"r{i}k"], "bias": p[f"r{i}b"]}
+        params[f"enc2_prelu_{i}"] = {"alpha": p["ra"][i]}
+    params["conv6"] = {"kernel": p["c6k"], "bias": p["c6b"]}
+    params["conv6_prelu"] = {"alpha": p["c6a"]}
+    params["rnn_out"] = {"kernel": p["rok"], "bias": p["rob"]}
     params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
 
     got = np.asarray(model.apply({"params": params},
