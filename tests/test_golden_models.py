@@ -21,6 +21,10 @@ so they anchor the full model wiring to an external source of truth:
     the three temporal branches and the softmax temporal weighting.
   * MCResNet forward (model/mcresnet.py:49-117): the distance-shared
     encoders and the odd trunk accumulation quirk.
+  * DUF forward, FR_16L (model/dufvsr.py:38-58 + model/nets.py:9-53):
+    dense 3-D blocks with temporal-VALID shrink, the hand-rolled eval
+    BatchNorm, the softmaxed dynamic-filter head and the per-RGB
+    5x5 dynamic filtering + depth_to_space composition.
 
 Weights are seeded-random but FIXED, injected into the flax params by
 name; the same arrays parameterize the oracle (reshaped to the
@@ -609,3 +613,130 @@ def test_frvsr_first_step_golden():
 
     got = np.asarray(model.apply({"params": params}, xj, method=FRVSR.step))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- DUF
+
+def np_conv3d(x, k, b=None, pad="none"):
+    """VALID 3-D conv with explicit 'thw'/'hw' pre-padding, NDHWC/DHWIO."""
+    if pad == "thw":
+        x = np.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    elif pad == "hw":
+        x = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    n, d, h, w, cin = x.shape
+    kt, kh, kw, _, cout = k.shape
+    od, oh, ow = d - kt + 1, h - kh + 1, w - kw + 1
+    out = np.zeros((n, od, oh, ow, cout))
+    for dt in range(kt):
+        for dy in range(kh):
+            for dx in range(kw):
+                out += x[:, dt:dt + od, dy:dy + oh, dx:dx + ow, :] @ k[dt, dy, dx]
+    if b is not None:
+        out += b
+    return out
+
+
+def np_refbn_eval(x, beta, gamma, mmean, mvar):
+    return gamma * (x - mmean) / np.sqrt(mvar + 1e-3) + beta
+
+
+def duf_oracle(x, p, t=7, scale=4, n_thw=3, n_hw=3, growth=32):
+    """Reference DUF forward with the FR_16L backbone
+    (model/dufvsr.py:38-58 + model/nets.py:9-53) in numpy, eval mode."""
+    n, _, h, w, _ = x.shape
+    r2 = scale * scale
+    idx0 = t // 2
+    z = np_conv3d(x, p["c1k"], p["c1b"], pad="hw")
+    feats = 64
+    for r in range(n_thw + n_hw):
+        tt = np.maximum(np_refbn_eval(z, *p[f"bn{r}a"]), 0)
+        tt = np_conv3d(tt, p[f"ak{r}"], p[f"ab{r}"])
+        tt = np.maximum(np_refbn_eval(tt, *p[f"bn{r}b"]), 0)
+        if r < n_thw:
+            tt = np_conv3d(tt, p[f"bk{r}"], p[f"bb{r}"], pad="thw")
+            z = np.concatenate([z, tt], -1)
+        else:
+            tt = np_conv3d(tt, p[f"bk{r}"], p[f"bb{r}"], pad="hw")
+            z = np.concatenate([z[:, 1:-1], tt], -1)
+        feats += growth
+    z = np.maximum(np_refbn_eval(z, *p["fbn1"]), 0)
+    z = np.maximum(np_conv3d(z, p["c2k"], p["c2b"], pad="hw"), 0)
+    rr = np.maximum(np_conv3d(z, p["r1k"], p["r1b"]), 0)
+    rr = np_conv3d(rr, p["r2k"], p["r2b"])                 # [n,1,h,w,3*r2]
+    ff = np.maximum(np_conv3d(z, p["f1k"], p["f1b"]), 0)
+    ff = np_conv3d(ff, p["f2k"], p["f2b"]).reshape(n, 1, h, w, 25, r2)
+    e = np.exp(ff - ff.max(4, keepdims=True))
+    fx = e / e.sum(4, keepdims=True)                       # softmax over taps
+
+    # per-RGB dynamic filtering of the center frame (dufvsr.py:47-53)
+    center = x[:, idx0]                                    # [n,h,w,3]
+    xp = np.pad(center, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    chans = []
+    for cch in range(3):
+        filt = np.zeros((n, h, w, r2))
+        for i in range(5):
+            for j in range(5):
+                filt += xp[:, i:i + h, j:j + w, cch][..., None] * \
+                    fx[:, 0, :, :, i * 5 + j, :]
+        chans.append(np_d2s(filt, scale))
+    sr = np.concatenate(chans, -1)                          # [n,H,W,3]
+    return sr + np_d2s(rr[:, 0], scale)
+
+
+def test_duf_golden_numpy():
+    from pfnl_tpu.models.duf import DUF
+
+    rng = np.random.default_rng(5)
+    t, h, w = 7, 8, 8
+    x = rng.random((1, t, h, w, 3))
+
+    def W(*shape, s=0.1):
+        return rng.standard_normal(shape) * s
+
+    def BN(c):
+        return (W(c, s=0.1), 1.0 + W(c, s=0.1),
+                W(c, s=0.1), np.abs(W(c, s=0.5)) + 0.1)
+
+    p = dict(c1k=W(1, 3, 3, 3, 64), c1b=W(64), fbn1=BN(64 + 6 * 32))
+    feats = 64
+    for r in range(6):
+        p[f"bn{r}a"] = BN(feats)
+        p[f"ak{r}"], p[f"ab{r}"] = W(1, 1, 1, feats, feats), W(feats)
+        p[f"bn{r}b"] = BN(feats)
+        p[f"bk{r}"], p[f"bb{r}"] = W(3, 3, 3, feats, 32), W(32)
+        feats += 32
+    p["c2k"], p["c2b"] = W(1, 3, 3, 256, 256), W(256)
+    p["r1k"], p["r1b"] = W(1, 1, 1, 256, 256), W(256)
+    p["r2k"], p["r2b"] = W(1, 1, 1, 256, 48), W(48)
+    p["f1k"], p["f1b"] = W(1, 1, 1, 256, 512), W(512)
+    p["f2k"], p["f2b"] = W(1, 1, 1, 512, 400), W(400)
+
+    want = duf_oracle(x, p)
+
+    model = DUF(num_frames=t, layers=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32),
+                           is_train=False)
+    params, stats = variables["params"]["G"], variables["batch_stats"]["G"]
+    params["conv1"] = {"W": p["c1k"], "b": p["c1b"]}
+    for r in range(6):
+        for suffix, bn in (("a", p[f"bn{r}a"]), ("b", p[f"bn{r}b"])):
+            params[f"Rbn{r + 1}{suffix}"] = {"beta": bn[0], "gamma": bn[1]}
+            stats[f"Rbn{r + 1}{suffix}"] = {"moving_mean": bn[2],
+                                            "moving_variance": bn[3]}
+        params[f"Rconv{r + 1}a"] = {"W": p[f"ak{r}"], "b": p[f"ab{r}"]}
+        params[f"Rconv{r + 1}b"] = {"W": p[f"bk{r}"], "b": p[f"bb{r}"]}
+    params["fbn1"] = {"beta": p["fbn1"][0], "gamma": p["fbn1"][1]}
+    stats["fbn1"] = {"moving_mean": p["fbn1"][2], "moving_variance": p["fbn1"][3]}
+    params["conv2"] = {"W": p["c2k"], "b": p["c2b"]}
+    params["rconv1"] = {"W": p["r1k"], "b": p["r1b"]}
+    params["rconv2"] = {"W": p["r2k"], "b": p["r2b"]}
+    params["fconv1"] = {"W": p["f1k"], "b": p["f1b"]}
+    params["fconv2"] = {"W": p["f2k"], "b": p["f2b"]}
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        {"params": {"G": params}, "batch_stats": {"G": stats}})
+
+    got = np.asarray(model.apply(variables, jnp.asarray(x, jnp.float32),
+                                 is_train=False)["sr"])[:, 0]
+    # f32 lax.rsqrt in 13 BN layers vs the f64 oracle: ~2e-3 relative
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=4e-3)
