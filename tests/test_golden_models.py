@@ -25,6 +25,12 @@ so they anchor the full model wiring to an external source of truth:
     dense 3-D blocks with temporal-VALID shrink, the hand-rolled eval
     BatchNorm, the softmaxed dynamic-filter head and the per-RGB
     5x5 dynamic filtering + depth_to_space composition.
+  * DRVSR forward (model/drvsr.py:104-205): the SPMC upscale-while-warp
+    splat (incl. the height/width coordinate-scaling quirk), the
+    encoder/ConvLSTM/decoder with skip adds and k=4 transpose convs, and
+    the (i,j,f,o) gate order with forget bias 1.
+
+All seven families are covered.
 
 Weights are seeded-random but FIXED, injected into the flax params by
 name; the same arrays parameterize the oracle (reshaped to the
@@ -60,19 +66,20 @@ def np_conv2d(x, k, b=None):
 
 def np_conv2d_transpose_tf(y, k_tf, b, stride):
     """TF conv2d_transpose, SAME, kernel [kh, kw, C_OUT, C_IN] (TF order),
-    output size in*stride: the gradient of a SAME stride-`stride` conv.
-    out[2j+dy] += y[j] * k[dy] per spatial dim (forward pad_begin is 0 for
-    even input sizes with k=3,s=2)."""
+    output size in*stride: the gradient of a SAME stride-`stride` conv
+    (pad_begin = (k - stride) // 2 for even outputs): per spatial dim
+    out[stride*j + dy - pb] += y[j] * k[dy]."""
     n, h, w, cin = y.shape
     kh, kw, cout, _ = k_tf.shape
     oh, ow = h * stride, w * stride
+    pby, pbx = max(kh - stride, 0) // 2, max(kw - stride, 0) // 2
     out = np.zeros((n, oh, ow, cout))
     for j in range(h):
         for i in range(w):
             for dy in range(kh):
                 for dx in range(kw):
-                    r, c = stride * j + dy, stride * i + dx
-                    if r < oh and c < ow:
+                    r, c = stride * j + dy - pby, stride * i + dx - pbx
+                    if 0 <= r < oh and 0 <= c < ow:
                         out[:, r, c, :] += y[:, j, i, :] @ k_tf[dy, dx].T
     return out + b
 
@@ -740,3 +747,122 @@ def test_duf_golden_numpy():
                                  is_train=False)["sr"])[:, 0]
     # f32 lax.rsqrt in 13 BN layers vs the f64 oracle: ~2e-3 relative
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=4e-3)
+
+
+# ---------------------------------------------------------------- DRVSR
+
+def _np_forward_warp_scaled(im, uv, oh, ow):
+    """Bilinear forward splat with the reference's out/in coordinate
+    scaling (SPMC upscale-while-warp, videosr_ops.py:399-503)."""
+    b, h, w, c = im.shape
+    sy, sx = oh / h, ow / w
+    out = np.zeros((b, oh, ow, c))
+    for bi in range(b):
+        for r in range(h):
+            for cc in range(w):
+                # quirk preserved: x scaled by the HEIGHT ratio, y by width
+                x = (cc + uv[bi, r, cc, 0]) * sy
+                y = (r + uv[bi, r, cc, 1]) * sx
+                x0, y0 = int(np.floor(x)), int(np.floor(y))
+                for (yy, xx, wgt) in (
+                    (y0, x0, (x0 + 1 - x) * (y0 + 1 - y)),
+                    (y0 + 1, x0, (x0 + 1 - x) * (y - y0)),
+                    (y0, x0 + 1, (x - x0) * (y0 + 1 - y)),
+                    (y0 + 1, x0 + 1, (x - x0) * (y - y0)),
+                ):
+                    out[bi, min(max(yy, 0), oh - 1),
+                        min(max(xx, 0), ow - 1)] += wgt * im[bi, r, cc]
+    return out
+
+
+def _sig(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def drvsr_oracle(x, p, t=3, scale=4):
+    """Reference DRVSR forward (model/drvsr.py:104-205) in numpy: EASYFLOW
+    -> SPMC HR splat -> encoder / ConvLSTM / decoder with skips, per-frame
+    outputs + bicubic-Y."""
+    n, _, h, w, _ = x.shape
+    oh, ow = h * scale, w * scale
+    idx0 = t // 2
+    y = _np_rgb2y(x)
+    ref = y[:, idx0]
+    bic = np_resize_tf1(ref, oh, ow, method="bicubic")
+    flat = y.reshape(n * t, h, w, 1)
+    ref_rep = np.repeat(y[:, idx0:idx0 + 1], t, 1).reshape(n * t, h, w, 1)
+    uv = np_easyflow(flat, ref_rep, p)
+    whr = _np_forward_warp_scaled(flat, uv, oh, ow).reshape(n, t, oh, ow, 1)
+
+    cst = np.zeros((n, oh // 4, ow // 4, 128))
+    hst = np.zeros_like(cst)
+    outs = []
+    for i in range(t):
+        c1 = np.maximum(np_conv2d(whr[:, i], p["e1k"], p["e1b"]), 0)
+        c2 = np.maximum(np_conv2d_s2(c1, p["e2k"], p["e2b"]), 0)
+        c21 = np.maximum(np_conv2d(c2, p["e21k"], p["e21b"]), 0)
+        c3 = np.maximum(np_conv2d_s2(c21, p["e3k"], p["e3b"]), 0)
+        gates = np_conv2d(np.concatenate([c3, hst], -1), p["gk"], p["gb"])
+        gi, gj, gf, go = np.split(gates, 4, axis=-1)
+        cst = cst * _sig(gf + 1.0) + _sig(gi) * np.tanh(gj)
+        hst = np.tanh(cst) * _sig(go)
+        c31 = np.maximum(np_conv2d(hst, p["e31k"], p["e31b"]), 0)
+        d1 = np.maximum(np_conv2d_transpose_tf(c31, p["d1k"], p["d1b"], 2), 0)
+        d11 = np.maximum(np_conv2d(d1 + c21, p["d11k"], p["d11b"]), 0)
+        d2 = np.maximum(np_conv2d_transpose_tf(d11, p["d2k"], p["d2b"], 2), 0)
+        d21 = np.maximum(np_conv2d(d2 + c1, p["d21k"], p["d21b"]), 0)
+        outs.append(np_conv2d(d21, p["d3k"], p["d3b"]))
+    return np.stack(outs, 1) + bic[:, None]
+
+
+def test_drvsr_golden_numpy():
+    from pfnl_tpu.models.drvsr import DRVSR
+
+    rng = np.random.default_rng(17)
+    t, h, w = 3, 8, 8
+    x = rng.random((1, t, h, w, 3))
+
+    def W(*shape, s=0.1):
+        return rng.standard_normal(shape) * s
+
+    p = dict(
+        c1k=W(5, 5, 2, 24), c1b=W(24), c2k=W(3, 3, 24, 24), c2b=W(24),
+        c3k=W(5, 5, 24, 24), c3b=W(24), c4k=W(3, 3, 24, 24), c4b=W(24),
+        c5k=W(3, 3, 24, 32), c5b=W(32),
+        s1k=W(5, 5, 5, 24), s1b=W(24), s2k=W(3, 3, 24, 24), s2b=W(24),
+        s3k=W(3, 3, 24, 24), s3b=W(24), s4k=W(3, 3, 24, 24), s4b=W(24),
+        s5k=W(3, 3, 24, 8), s5b=W(8),
+        e1k=W(5, 5, 1, 32), e1b=W(32), e2k=W(3, 3, 32, 64), e2b=W(64),
+        e21k=W(3, 3, 64, 64), e21b=W(64), e3k=W(3, 3, 64, 128), e3b=W(128),
+        gk=W(3, 3, 256, 512, s=0.05), gb=W(512),
+        e31k=W(3, 3, 128, 128), e31b=W(128),
+        d1k=W(4, 4, 64, 128), d1b=W(64),     # TF layout [kh,kw,OUT,IN]
+        d11k=W(3, 3, 64, 64), d11b=W(64),
+        d2k=W(4, 4, 32, 64), d2b=W(32),
+        d21k=W(3, 3, 32, 32), d21b=W(32),
+        d3k=W(5, 5, 32, 1), d3b=W(1),
+    )
+
+    want = drvsr_oracle(x, p)
+
+    model = DRVSR(num_frames=t)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.float32))
+    params = variables["params"]
+    ef = params["easyflow"]
+    for name in ("c1", "c2", "c3", "c4", "c5", "s1", "s2", "s3", "s4", "s5"):
+        ef[name] = {"kernel": p[name + "k"], "bias": p[name + "b"]}
+    sm = params["srmodel"]
+    for fl, kk in (("enc1", "e1"), ("enc2", "e2"), ("enc2_1", "e21"),
+                   ("enc3", "e3"), ("enc3_1", "e31"), ("dec1_1", "d11"),
+                   ("dec2_1", "d21"), ("dec3", "d3")):
+        sm[fl] = {"kernel": p[kk + "k"], "bias": p[kk + "b"]}
+    sm["lstm"]["gates"] = {"kernel": p["gk"], "bias": p["gb"]}
+    # TF conv2d_transpose -> flax ConvTranspose: mirror + in/out transpose
+    for fl, kk in (("dec1", "d1"), ("dec2", "d2")):
+        sm[fl] = {"kernel": p[kk + "k"][::-1, ::-1].transpose(0, 1, 3, 2),
+                  "bias": p[kk + "b"]}
+    params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), params)
+
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x, jnp.float32))["sr"])
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
