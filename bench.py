@@ -159,8 +159,11 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
             s, _ = lax.scan(body, jnp.float32(0.0), None, length=steps)
             return s
     else:
-        # HR frames emitted per window (multi-output models emit several)
-        out_frames = int(m.apply(variables, x[:1], **init_kw)["sr"].shape[1])
+        # deliverable throughput: the production sliding-window path
+        # (infer/predictor.py) emits ONE HR frame per window even for
+        # multi-output models like DRVSR (it keeps sr[:, -1] only), so a
+        # window counts as 1 frame regardless of the sr tensor's T dim
+        out_frames = 1
 
         @jax.jit
         def chained(variables, x):

@@ -91,7 +91,15 @@ def make_filelists(root: str, val_count: int = 19,
     if vals:
         trains = [s for s in seqs if s not in vals]
     else:
-        trains, vals = seqs[:-val_count] or seqs, seqs[-val_count:]
+        # clamp so small datasets still get a DISJOINT split (a val_count
+        # >= len(seqs) would otherwise leak every val sequence into train)
+        vc = min(val_count, max(1, len(seqs) // 5)) if len(seqs) <= val_count \
+            else val_count
+        trains, vals = seqs[:-vc], seqs[-vc:]
+        if not trains:
+            raise ValueError(
+                f"only {len(seqs)} sequence(s) under {root} — too few for a "
+                "disjoint train/val split")
     out_train = out_train or os.path.join(root, "filelist_train.txt")
     out_val = out_val or os.path.join(root, "filelist_val.txt")
     with open(out_train, "wt") as f:

@@ -119,7 +119,8 @@ class PFNL(nn.Module):
             "xla": pfrb_chain_xla,
             "pallas": pfrb_chain,          # single manual-DMA kernel (parked)
             "pallas_split": pfrb_chain_split,  # 64-lane two-kernel (superseded)
-            "pallas_pack": pfrb_chain_pack,
+            "pallas_chain": pfrb_chain_pack,   # packed chain + XLA tail
+            "pallas_pack": None,  # handled by the fused branch below
         }[impl]
 
         params_list = []

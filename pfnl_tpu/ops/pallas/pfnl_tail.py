@@ -212,13 +212,12 @@ def compose_d2s4(folded):
     return x.reshape(n, 4 * h, 4 * w, 3)
 
 
-def _xla_blocks_tail(feat, params_list, wm1, bm1, km2, bm2):
-    """XLA reference composition (gradient path): PFRB chain + merge tail
-    (identical math to the packed kernels)."""
-    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+def _xla_tail_only(feat5, wm1, bm1, km2, bm2):
+    """XLA composition of the merge tail alone (identical math to the
+    packed tail kernel) — the backward's recompute surface is only this
+    cheap head, never the 20-block chain."""
     from pfnl_tpu.ops.shuffle import depth_to_space
 
-    feat5 = pfrb_chain_xla(feat, params_list)
     n, t, h, w, c = feat5.shape
     merge = feat5.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * c)
     conv = lambda x, k: jax.lax.conv_general_dilated(
@@ -230,41 +229,56 @@ def _xla_blocks_tail(feat, params_list, wm1, bm1, km2, bm2):
     return depth_to_space(o, 2)
 
 
+def _xla_blocks_tail(feat, params_list, wm1, bm1, km2, bm2):
+    """XLA oracle composition (tests): PFRB chain + merge tail."""
+    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+
+    return _xla_tail_only(pfrb_chain_xla(feat, params_list), wm1, bm1, km2, bm2)
+
+
 @jax.custom_vjp
 def blocks_and_tail_pack(feat, params_list, wm1, bm1, km2, bm2):
     """PFRB chain + merge tail entirely on the pair-packed layout (no
     unpack/transpose between the blocks and the head-merge convs).
-    feat: [N,T,H,W,64] -> [N,4H,4W,3] (pre-bicubic).  XLA gradient."""
-    from pfnl_tpu.ops.pallas.pfrb_fused import _round_up
-    from pfnl_tpu.ops.pallas.pfrb_pack import (
-        _pfrb_pack_pallas, pad_to_pack_layout, pick_rows, pick_tb,
-    )
+    feat: [N,T,H,W,64] -> [N,4H,4W,3] (pre-bicubic).
+
+    Gradient: the chain portion is the recompute-free Pallas backward
+    consuming kernel A's saved (feat, i1, base) activations; only the
+    merge tail re-runs (one XLA vjp of `_xla_tail_only`)."""
+    from pfnl_tpu.ops.pallas.pfrb_pack import _chain_pack_run, pick_rows
 
     n, t, h, w, c = feat.shape
-    rows = pick_rows(h)
-    tb = pick_tb(t)
-    tp = _round_up(t, tb)
-    packed = pad_to_pack_layout(feat, rows=rows)
-    if tp != t:
-        packed = jnp.pad(packed, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
-    for p in params_list:
-        if tp != t:
-            w1, b1, wfuse, bfuse, w2f, w2b, b2 = p
-            wfuse = jnp.pad(wfuse, ((0, tp - t), (0, 0), (0, 0)))
-            p = (w1, b1, wfuse, bfuse, w2f, w2b, b2)
-        packed = _pfrb_pack_pallas(packed, p, h, w, rows, tb=tb)
-    folded = pfnl_tail_pack(packed, wm1, bm1, km2, bm2, t=t, h=h, w=w, rows=rows)
+    out, (feats_p, _, _) = _chain_pack_run(feat, params_list, collect=False,
+                                           keep_final_packed=True)
+    folded = pfnl_tail_pack(feats_p[-1], wm1, bm1, km2, bm2, t=t, h=h, w=w,
+                            rows=pick_rows(h))
     return compose_d2s4(folded)
 
 
 def _bt_fwd(feat, params_list, wm1, bm1, km2, bm2):
-    out = blocks_and_tail_pack(feat, params_list, wm1, bm1, km2, bm2)
-    return out, (feat, params_list, wm1, bm1, km2, bm2)
+    from pfnl_tpu.ops.pallas.pfrb_pack import _chain_pack_run, pick_rows
+
+    n, t, h, w, c = feat.shape
+    _, (feats_p, i1s_p, bases_p) = _chain_pack_run(
+        feat, params_list, collect=True)
+    folded = pfnl_tail_pack(feats_p[-1], wm1, bm1, km2, bm2, t=t, h=h, w=w,
+                            rows=pick_rows(h))
+    out = compose_d2s4(folded)
+    return out, (feats_p, i1s_p, bases_p, params_list, wm1, bm1, km2, bm2,
+                 (t, h, w))
 
 
 def _bt_bwd(res, g):
-    _, vjp = jax.vjp(_xla_blocks_tail, *res)
-    return vjp(g)
+    from pfnl_tpu.ops.pallas.pfrb_pack import (
+        _chain_bwd_dispatch, unpad_from_pack_layout)
+
+    feats_p, i1s_p, bases_p, params_list, wm1, bm1, km2, bm2, (t, h, w) = res
+    feat5 = unpad_from_pack_layout(feats_p[-1][:, :t], h, w)
+    _, tail_vjp = jax.vjp(_xla_tail_only, feat5, wm1, bm1, km2, bm2)
+    d_feat5, d_wm1, d_bm1, d_km2, d_bm2 = tail_vjp(g)
+    d_feat, d_params = _chain_bwd_dispatch(
+        (feats_p, i1s_p, bases_p, params_list), d_feat5)
+    return d_feat, d_params, d_wm1, d_bm1, d_km2, d_bm2
 
 
 blocks_and_tail_pack.defvjp(_bt_fwd, _bt_bwd)

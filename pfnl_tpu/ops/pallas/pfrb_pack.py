@@ -302,9 +302,13 @@ def pick_tb(t: int) -> int:
     return 8 if _round_up(t, 8) == _round_up(t, 4) else 4
 
 
-def _chain_pack_run(feat, params_list, collect=False):
+def _chain_pack_run(feat, params_list, collect=False, keep_final_packed=False):
     """Run the packed chain; optionally collect (feat_in, i1, base) per
-    block (unpacked, for the manual backward)."""
+    block (raw packed buffers, for the manual backward).  With
+    keep_final_packed (and collect=False) only the FINAL packed buffer is
+    returned in the feats slot — for consumers like the fused tail kernel
+    that want the packed layout without the training-time activation
+    stash."""
     n, t, h, w, c = feat.shape
     rows = pick_rows(h)
     tb = pick_tb(t)
@@ -333,6 +337,8 @@ def _chain_pack_run(feat, params_list, collect=False):
     if collect:
         feats.append(packed)
         return out, (feats, i1s, bases)
+    if keep_final_packed:
+        return out, ([packed], i1s, bases)
     return out
 
 
@@ -378,7 +384,12 @@ _ALPHA = 0.2
 
 
 def _lrelu_mask(y):
-    """lrelu'(z) recovered from the OUTPUT sign (valid since alpha>0)."""
+    """lrelu'(z) recovered from the OUTPUT sign (valid since alpha>0).
+
+    At cells where |z| is within float rounding of the kink (~1e-7 of 0),
+    the recovered slope may differ from XLA autodiff's choice — the
+    subgradient there is genuinely ambiguous ([alpha, 1]); measured: ~1
+    cell per ~8M at f32, bounded 5x local multiplier difference."""
     return jnp.where(y > 0, 1.0, _ALPHA).astype(jnp.float32)
 
 
