@@ -180,22 +180,34 @@ def cmd_import_tf1(args):
     import jax.numpy as jnp
 
     from pfnl_tpu.train.trainer import Trainer
-    from pfnl_tpu.utils.tf1_ckpt import import_pfnl_tf1
+    from pfnl_tpu.utils.tf1_imports import IMPORTERS, import_duf_hdf5
 
     cfg = _cfg_from_args(args)
-    if cfg.model != "pfnl":
-        raise SystemExit("TF1 import currently supports the pfnl model")
+    if cfg.model not in IMPORTERS:
+        raise SystemExit(f"no TF1 importer for model {cfg.model!r}")
+    importer, cfg_keys, has_stats = IMPORTERS[cfg.model]
     tr = Trainer(cfg)
     shape = (1, cfg.num_frames, cfg.in_size, cfg.in_size, 3)
     state = tr.init_state(jax.random.PRNGKey(0), np.zeros(shape, np.float32))
-    imported = jax.tree.map(
-        jnp.asarray, import_pfnl_tf1(args.ckpt, num_frames=cfg.num_frames))
-    ref_shapes = jax.tree.map(lambda a: a.shape, state.params)
-    new_shapes = jax.tree.map(lambda a: a.shape, imported)
-    if ref_shapes != new_shapes:
-        raise SystemExit(
-            f"imported param tree mismatch:\n{ref_shapes}\nvs\n{new_shapes}")
-    tr.save(state.replace(params=imported))
+
+    if args.ckpt.endswith((".h5", ".hdf5")):
+        # original VSR-DUF weights path (reference utils.py:290-318)
+        if cfg.model != "duf":
+            raise SystemExit("hdf5 import is only defined for duf")
+        imported, stats = import_duf_hdf5(
+            state.params, state.batch_stats, args.ckpt)
+    else:
+        kwargs = {k: getattr(cfg, k) for k in cfg_keys}
+        out = importer(args.ckpt, **kwargs)
+        imported, stats = out if has_stats else (out, state.batch_stats)
+        imported = jax.tree.map(jnp.asarray, imported)
+        stats = jax.tree.map(jnp.asarray, stats)
+        ref_shapes = jax.tree.map(lambda a: a.shape, state.params)
+        new_shapes = jax.tree.map(lambda a: a.shape, imported)
+        if ref_shapes != new_shapes:
+            raise SystemExit(
+                f"imported param tree mismatch:\n{ref_shapes}\nvs\n{new_shapes}")
+    tr.save(state.replace(params=imported, batch_stats=stats))
     print(f"imported {args.ckpt} -> {tr.workdir} (step {int(state.step)})")
 
 
