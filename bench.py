@@ -107,6 +107,56 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
     return 1.0 / dt
 
 
+def fit_bench(model: str = "pfnl", steps: int = 100, batch: int = 16,
+              in_size: int = 32, frames: int = 7):
+    """Training steps/sec through the production `Trainer.fit` loop itself
+    (dispatch-per-step, divergence checks at log_every cadence) — should
+    sit within ~10% of the scan-chained `--train` number now that the
+    per-step host readback is gone."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfnl_tpu.config import preset
+    from pfnl_tpu.train.trainer import Trainer
+
+    cfg = preset(model, in_size=in_size, batch_size=batch, num_frames=frames,
+                 reload=False)
+    tr = Trainer(cfg, workdir="/tmp/bench_fit")
+    rng = np.random.default_rng(0)
+    gt = (rng.random((batch, frames, cfg.gt_size, cfg.gt_size, 3)) * 255).astype(
+        np.uint8
+    )
+
+    class _FixedPipeline:
+        def __init__(self):
+            self.batch = {"gt": jnp.asarray(gt)}
+
+        def get_batch(self):
+            return self.batch
+
+    pipe = _FixedPipeline()
+    # warm up: compile the step once
+    state = tr.fit(pipe, max_steps=1, save_every=10**9, print_fn=lambda *a: None)
+    t0 = time.perf_counter()
+    # fit()'s final divergence check does a scalar readback of the last
+    # step's loss, so wall time here includes full completion (this
+    # environment's block_until_ready does not block through the relay)
+    state = tr.fit(pipe, state=state, max_steps=1 + steps, save_every=10**9,
+                   print_fn=lambda *a: None)
+    dt = (time.perf_counter() - t0) / steps
+    print(
+        json.dumps(
+            {
+                "metric": f"fit() steps/sec ({model} b{batch} crop {in_size})",
+                "value": round(1.0 / dt, 3),
+                "unit": "steps/sec",
+                "vs_baseline": None,
+            }
+        )
+    )
+    return 1.0 / dt
+
+
 # per-model temporal window (reference configs, SURVEY.md §0) and the
 # largest 720p batch that fits one v5e chip (frvsr unrolls 10 steps and
 # duf carries 52 dense-3D layers — batch 16 crashes the worker)
@@ -222,6 +272,8 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference fps")
+    ap.add_argument("--train-fit", action="store_true",
+                    help="measure training steps/sec through Trainer.fit itself")
     ap.add_argument("--all", action="store_true",
                     help="emit one JSON line per model family")
     ap.add_argument("--profile", default=None,
@@ -237,6 +289,8 @@ if __name__ == "__main__":
                 main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)
     elif a.all:
         bench_all(a.hw, a.steps, a.batch, a.dtype)
+    elif a.train_fit:
+        fit_bench(a.model, max(a.steps, 50), batch=16, frames=a.frames)
     elif a.train:
         train_bench(a.model, a.steps, batch=16, frames=a.frames)
     else:

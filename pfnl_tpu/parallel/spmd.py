@@ -1,18 +1,30 @@
-"""GSPMD-sharded full-model forward (SURVEY.md §5.8, new-build).
+"""Sharded full-model forwards (SURVEY.md §5.8, new-build).
 
-The idiomatic multi-chip inference path: annotate the INPUT sharding
-(batch over 'data', image rows over 'space') on a jitted forward and let
-XLA's SPMD partitioner insert the halo exchanges for the convs and the
-collectives for the non-local attention.  No per-op shard_map needed —
-the model is ordinary jnp/lax code on this path (use pfrb_impl='xla':
-Pallas kernels are per-chip programs and are not GSPMD-partitionable;
-`parallel.nonlocal_sp` remains the hand-sharded attention alternative).
+Two multi-chip inference paths:
+
+1. `sharded_forward` — GSPMD: annotate the INPUT sharding (batch over
+   'data', image rows over 'space') on a jitted forward and let XLA's
+   SPMD partitioner insert the halo exchanges for the convs and the
+   collectives for the non-local attention.  The model must be ordinary
+   jnp/lax code on this path (pfrb_impl='xla'): Pallas kernels are
+   per-chip programs and are not GSPMD-partitionable.  Needed whenever
+   the SPATIAL axis is sharded (one image too big for one chip).
+
+2. `sharded_forward_dp` — shard_map over the batch axis only.  Each chip
+   runs the FULL single-chip program on its batch shard — including the
+   packed Pallas PFRB/tail kernels — so pure data-parallel serving keeps
+   the ~3x Pallas fast path that GSPMD forfeits.  Batch-only sharding
+   needs no halo or collective at all; `shard_map` is exactly the
+   "per-chip program" escape hatch GSPMD lacks.
+
+`parallel.nonlocal_sp` remains the hand-sharded attention alternative.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -29,5 +41,35 @@ def sharded_forward(model, variables, mesh: Mesh):
                        out_shardings=x_sharding)
     def fn(variables, x):
         return model.apply(variables, x)["sr"]
+
+    return lambda x: fn(variables, x)
+
+
+def sharded_forward_dp(model, variables, mesh: Mesh):
+    """Pure-DP multi-chip forward that KEEPS the Pallas fast path.
+
+    Returns fn(x) with x's batch axis sharded over every mesh axis
+    (data x space used as one flat DP axis — 'space' has no spatial role
+    here); params are replicated.  Inside shard_map each chip sees its
+    local [N/d, T, H, W, C] shard and runs the unmodified single-chip
+    forward, Pallas kernels included.  The batch must divide the device
+    count."""
+    axes = tuple(mesh.axis_names)
+    x_spec = P(axes, None, None, None, None)
+    x_sharding = NamedSharding(mesh, x_spec)
+    repl = NamedSharding(mesh, P())
+
+    def per_chip(variables, x):
+        return model.apply(variables, x)["sr"]
+
+    smapped = shard_map(
+        per_chip, mesh=mesh, in_specs=(P(), x_spec), out_specs=x_spec,
+        check_rep=False,
+    )
+
+    @functools.partial(jax.jit, in_shardings=(repl, x_sharding),
+                       out_shardings=x_sharding)
+    def fn(variables, x):
+        return smapped(variables, x)
 
     return lambda x: fn(variables, x)

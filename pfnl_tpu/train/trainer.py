@@ -255,13 +255,36 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
         t0 = time.time()
-        loss_v = None
+        last_losses = None
+
+        def check(step) -> bool:
+            """Blocking divergence check on the most recent loss.  Runs at
+            log_every cadence, not per step: a per-step float() readback
+            costs one host RTT per step (~30 ms on a relay), and NaN
+            propagates through Adam into the params so the NEXT checked
+            loss is NaN too — nothing is missed by checking lazily.
+            Reference semantics (model/pfnl.py:195-199) preserved at the
+            check points."""
+            if last_losses is None:
+                return True
+            loss_v = float(last_losses["loss"])
+            assert not np.isnan(loss_v), "Model diverged with loss = NaN"
+            if step > 500 and loss_v > 10:
+                print_fn(f"Model collapsed with loss={loss_v}")
+                return False
+            return True
+
         for step in range(start, max_steps):
             stage = 0
             if self.staged and cfg.stage_switch_step is not None and step >= cfg.stage_switch_step:
                 stage = 1
-            if step > start and step % log_every == 0 and loss_v is not None:
-                print_fn(f"{time.strftime('%Y-%m-%d %H:%M:%S')} Step:{step}, loss:{loss_v}")
+            if step > start and step % log_every == 0:
+                if not check(step):
+                    break
+                print_fn(
+                    f"{time.strftime('%Y-%m-%d %H:%M:%S')} Step:{step},"
+                    f" loss:{float(last_losses['loss'])}"
+                )
             if step % save_every == 0:
                 if step > start:
                     self.save(state)
@@ -275,10 +298,6 @@ class Trainer:
 
                 batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
             key = jax.random.fold_in(base_key, step)
-            state, losses = self.step_fn(stage)(state, batch, key)
-            loss_v = float(losses["loss"])
-            assert not np.isnan(loss_v), "Model diverged with loss = NaN"
-            if step > 500 and loss_v > 10:
-                print_fn(f"Model collapsed with loss={loss_v}")
-                break
+            state, last_losses = self.step_fn(stage)(state, batch, key)
+        check(max_steps)
         return state

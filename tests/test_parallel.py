@@ -88,6 +88,28 @@ def test_gspmd_sharded_pfnl_forward_matches(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
+def test_shard_map_dp_keeps_pallas_fast_path(rng):
+    """Pure-DP shard_map forward runs the PACKED PALLAS kernels per chip
+    (interpret mode on CPU) and matches the single-device XLA forward —
+    multi-chip serving no longer forfeits the Pallas fast path."""
+    from pfnl_tpu.models.pfnl import PFNL
+    from pfnl_tpu.parallel.spmd import sharded_forward_dp
+
+    model_pallas = PFNL(num_frames=3, num_blocks=2, pfrb_impl="pallas_pack",
+                        nonlocal_impl="dense")
+    model_xla = PFNL(num_frames=3, num_blocks=2, pfrb_impl="xla",
+                     nonlocal_impl="dense")
+    x = jnp.asarray(rng.random((8, 3, 16, 16, 3)).astype(np.float32))
+    variables = model_xla.init(jax.random.PRNGKey(0), x[:1])
+    ref = np.asarray(model_xla.apply(variables, x)["sr"])
+
+    mesh = make_mesh(n_data=4, n_space=2)
+    fn = sharded_forward_dp(model_pallas, variables, mesh)
+    out = fn(x)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
 def test_sharded_eval_psnr_matches(rng):
     """Eval-protocol PSNR computed from the sharded forward == unsharded
     (the multi-chip evaluation path)."""
