@@ -43,30 +43,43 @@ class Conv3D(nn.Module):
     """VALID 3-D conv with explicit padding mode, NDHWC.
 
     pad: "hw" pads H/W by 1 (reference `sp`), "thw" pads T/H/W by 1
-    (reference `stp`), "none" no padding."""
+    (reference `stp`), "none" no padding.
+
+    impl="pallas" routes 3x3x3 kernels through the tap-packed Pallas
+    kernel (ops/pallas/duf_dense.py) — the dense-block growth convs'
+    G=16 output channels use 16/128 MXU lanes natively (~10 TFLOP/s
+    measured); tap-packing makes N=144."""
 
     features: int
     kernel: Tuple[int, int, int]
     pad: str = "none"
     use_bias: bool = True
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         kt, kh, kw = self.kernel
         w = self.param("W", _he_trunc, (kt, kh, kw, x.shape[-1], self.features))
-        if self.pad == "thw":
-            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-        elif self.pad == "hw":
-            x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
-        # Native Conv3D throughout.  Measured end-to-end alternatives on
-        # v5e (720p batch 1): time-shifted 2-D decomposition 2.4 fps,
-        # kt=1-only fold 3.3 fps, native 3-D 5.5 fps — mixing 2-D and 3-D
-        # conv layouts inserts relayout copies between every dense-block
-        # layer that cost more than the Conv3D lowering loses.
-        y = lax.conv_general_dilated(
-            x, w.astype(x.dtype), (1, 1, 1), "VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )
+        if self.impl == "pallas" and self.kernel == (3, 3, 3):
+            from pfnl_tpu.ops.pallas.duf_dense import conv3x3x3_tap
+
+            y = conv3x3x3_tap(x, w, self.pad == "thw")
+        else:
+            if self.pad == "thw":
+                x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+            elif self.pad == "hw":
+                x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+            # Native Conv3D for everything else.  Measured end-to-end
+            # alternatives on v5e (720p batch 1): time-shifted 2-D
+            # decomposition 2.4 fps, kt=1-only fold 3.3 fps, native 3-D
+            # 5.5 fps — mixing 2-D and 3-D conv layouts inserts relayout
+            # copies between every dense-block layer that cost more than
+            # the Conv3D lowering loses.  The 1x1x1/1x3x3 convs have
+            # N>=64..512 and stay XLA.
+            y = lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
@@ -75,7 +88,11 @@ class Conv3D(nn.Module):
 
 class RefBatchNorm(nn.Module):
     """Hand-rolled moving-average BN (reference utils.py:251-278).
-    eps=1e-3; moving_variance init 0 (reference quirk, utils.py:267)."""
+    eps=1e-3; moving_variance init 0 (reference quirk, utils.py:267).
+
+    Stats and the affine run in f32; the output is cast back to the
+    input dtype so a bf16 activation stream stays bf16 (XLA fuses the
+    widen/narrow into the neighbouring conv)."""
 
     decay: float = 0.999
 
@@ -88,8 +105,9 @@ class RefBatchNorm(nn.Module):
         mov_var = self.variable("batch_stats", "moving_variance", jnp.zeros, fdim)
         if is_train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            var = jnp.var(x, axes)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.var(xf, axes)
             if not self.is_initializing():
                 d = self.decay
                 mov_mean.value = mov_mean.value * d + mean * (1 - d)
@@ -97,7 +115,8 @@ class RefBatchNorm(nn.Module):
         else:
             mean, var = mov_mean.value, mov_var.value
         inv = lax.rsqrt(var + 1e-3)
-        return gamma * (x - mean) * inv + beta
+        out = gamma * (x.astype(jnp.float32) - mean) * inv + beta
+        return out.astype(x.dtype)
 
 
 class FRNet(nn.Module):
@@ -106,11 +125,20 @@ class FRNet(nn.Module):
 
     layers: int = 52
     scale: int = 4
+    conv3d_impl: str = "auto"  # "auto" | "pallas" | "xla"
 
     @nn.compact
     def __call__(self, x, is_train: bool):
         n_thw, n_hw, growth, _ = _FR_CONFIGS[self.layers]
         r2 = self.scale * self.scale
+        impl = self.conv3d_impl
+        if impl == "auto":
+            # measured (v5e, 720p, bf16, batch 1): per-conv tap-packing
+            # ("pallas" here) is 2x faster per conv but the XLA glue
+            # around it (concat 40 ms, pads 19 ms, BN/conv_a fusions
+            # 108 ms per frame) dominates, so model-level auto stays XLA
+            # until the fused whole-block kernel path lands
+            impl = "xla"
         bn = lambda name: RefBatchNorm(name=name)
         x = Conv3D(64, (1, 3, 3), pad="hw", name="conv1")(x)
         feats = 64
@@ -121,11 +149,13 @@ class FRNet(nn.Module):
             t = bn(f"Rbn{r + 1}b")(t, is_train)
             t = nn.relu(t)
             if r < n_thw:
-                t = Conv3D(growth, (3, 3, 3), pad="thw", name=f"Rconv{r + 1}b")(t)
+                t = Conv3D(growth, (3, 3, 3), pad="thw", impl=impl,
+                           name=f"Rconv{r + 1}b")(t)
                 x = jnp.concatenate([x, t], axis=4)
             else:
                 # temporally-VALID conv shrinks T by 2; crop x to match
-                t = Conv3D(growth, (3, 3, 3), pad="hw", name=f"Rconv{r + 1}b")(t)
+                t = Conv3D(growth, (3, 3, 3), pad="hw", impl=impl,
+                           name=f"Rconv{r + 1}b")(t)
                 x = jnp.concatenate([x[:, 1:-1], t], axis=4)
             feats += growth
 
@@ -139,7 +169,7 @@ class FRNet(nn.Module):
         f = Conv3D(25 * r2, (1, 1, 1), name="fconv2")(f)
         b, t_out, h, w, _ = f.shape
         f = f.reshape(b, t_out, h, w, 25, r2)
-        f = nn.softmax(f, axis=4)
+        f = nn.softmax(f.astype(jnp.float32), axis=4)
         return f, r
 
 
@@ -147,14 +177,19 @@ class DUF(nn.Module):
     num_frames: int = 7
     scale: int = 4
     layers: int = 52
+    conv3d_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, is_train: bool = False):
         idx0 = self.num_frames // 2
-        fx, rx = FRNet(layers=self.layers, scale=self.scale, name="G")(x, is_train)
+        xc = x.astype(self.dtype)
+        fx, rx = FRNet(layers=self.layers, scale=self.scale,
+                       conv3d_impl=self.conv3d_impl, name="G")(xc, is_train)
+        x32, rx = x.astype(jnp.float32), rx.astype(jnp.float32)
         chans = []
         for c in range(3):
-            t = dyn_filter_3d(x[:, idx0 : idx0 + 1, :, :, c], fx[:, 0], (1, 5, 5))
+            t = dyn_filter_3d(x32[:, idx0 : idx0 + 1, :, :, c], fx[:, 0], (1, 5, 5))
             t = depth_to_space(t, self.scale)  # [B,H*R,W*R,1]
             chans.append(t)
         sr = jnp.concatenate(chans, axis=3)[:, None]  # [B,1,H*R,W*R,3]

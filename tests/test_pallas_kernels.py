@@ -166,3 +166,43 @@ def test_pfrb_pallas_backward_matches_autodiff(rng):
     for k in range(2):
         for a, b in zip(dps[k], gps[k]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_duf_conv3x3x3_tap_matches_xla(rng):
+    """Tap-packed DUF dense-block conv vs the native lowering, both pad
+    modes + gradient (interpret mode)."""
+    from pfnl_tpu.ops.pallas.duf_dense import conv3x3x3_tap, _conv3x3x3_xla
+
+    for (t, h, w, f, g, pad_t) in [(7, 12, 18, 64, 16, True),
+                                   (7, 9, 13, 48, 16, False),
+                                   (5, 16, 20, 80, 32, True)]:
+        x = jnp.asarray(rng.standard_normal((2, t, h, w, f)).astype(np.float32)) * 0.1
+        wk = jnp.asarray(rng.standard_normal((3, 3, 3, f, g)).astype(np.float32)) * 0.05
+        ref = np.asarray(_conv3x3x3_xla(x, wk, pad_t))
+        got = np.asarray(conv3x3x3_tap(x, wk, pad_t))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    x = jnp.asarray(rng.standard_normal((1, 5, 8, 9, 24)).astype(np.float32)) * 0.1
+    wk = jnp.asarray(rng.standard_normal((3, 3, 3, 24, 16)).astype(np.float32)) * 0.05
+    g1 = jax.grad(lambda a: jnp.sum(conv3x3x3_tap(a, wk, True) ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(_conv3x3x3_xla(a, wk, True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_duf_model_conv3d_impls_agree(rng):
+    """DUF forward with per-conv Pallas dense-block convs == XLA forward."""
+    from pfnl_tpu.models.duf import DUF
+
+    x = jnp.asarray(rng.random((1, 7, 8, 12, 3)).astype(np.float32))
+    m_x = DUF(num_frames=7, layers=16, conv3d_impl="xla")
+    m_p = DUF(num_frames=7, layers=16, conv3d_impl="pallas")
+    variables = m_x.init(jax.random.PRNGKey(0), x, is_train=False)
+    # the moving_variance=0 init quirk makes untrained activations ~1e17
+    # (numerically chaotic); compare in a sane regime: variance 1
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: jnp.ones_like(a), variables["batch_stats"])
+    ref = np.asarray(m_x.apply(variables, x, is_train=False)["sr"])
+    got = np.asarray(m_p.apply(variables, x, is_train=False)["sr"])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
