@@ -52,14 +52,21 @@ class Conv3D(nn.Module):
 
     features: int
     kernel: Tuple[int, int, int]
+    in_features: int
     pad: str = "none"
     use_bias: bool = True
     impl: str = "xla"
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         kt, kh, kw = self.kernel
-        w = self.param("W", _he_trunc, (kt, kh, kw, x.shape[-1], self.features))
+        self.w = self.param(
+            "W", _he_trunc, (kt, kh, kw, self.in_features, self.features))
+        if self.use_bias:
+            self.b = self.param("b", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x):
+        assert x.shape[-1] == self.in_features
+        w = self.w
         if self.impl == "pallas" and self.kernel == (3, 3, 3):
             from pfnl_tpu.ops.pallas.duf_dense import conv3x3x3_tap
 
@@ -81,8 +88,7 @@ class Conv3D(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             )
         if self.use_bias:
-            b = self.param("b", nn.initializers.zeros, (self.features,))
-            y = y + b.astype(y.dtype)
+            y = y + self.b.astype(y.dtype)
         return y
 
 
@@ -94,15 +100,20 @@ class RefBatchNorm(nn.Module):
     input dtype so a bf16 activation stream stays bf16 (XLA fuses the
     widen/narrow into the neighbouring conv)."""
 
+    features: int
     decay: float = 0.999
 
-    @nn.compact
+    def setup(self):
+        fdim = (self.features,)
+        self.beta = self.param("beta", nn.initializers.zeros, fdim)
+        self.gamma = self.param("gamma", nn.initializers.ones, fdim)
+        self.mov_mean = self.variable(
+            "batch_stats", "moving_mean", jnp.zeros, fdim)
+        self.mov_var = self.variable(
+            "batch_stats", "moving_variance", jnp.zeros, fdim)
+
     def __call__(self, x, is_train: bool):
-        fdim = (x.shape[-1],)
-        beta = self.param("beta", nn.initializers.zeros, fdim)
-        gamma = self.param("gamma", nn.initializers.ones, fdim)
-        mov_mean = self.variable("batch_stats", "moving_mean", jnp.zeros, fdim)
-        mov_var = self.variable("batch_stats", "moving_variance", jnp.zeros, fdim)
+        assert x.shape[-1] == self.features
         if is_train:
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
@@ -110,13 +121,18 @@ class RefBatchNorm(nn.Module):
             var = jnp.var(xf, axes)
             if not self.is_initializing():
                 d = self.decay
-                mov_mean.value = mov_mean.value * d + mean * (1 - d)
-                mov_var.value = mov_var.value * d + var * (1 - d)
+                self.mov_mean.value = self.mov_mean.value * d + mean * (1 - d)
+                self.mov_var.value = self.mov_var.value * d + var * (1 - d)
         else:
-            mean, var = mov_mean.value, mov_var.value
+            mean, var = self.mov_mean.value, self.mov_var.value
         inv = lax.rsqrt(var + 1e-3)
-        out = gamma * (x.astype(jnp.float32) - mean) * inv + beta
+        out = self.gamma * (x.astype(jnp.float32) - mean) * inv + self.beta
         return out.astype(x.dtype)
+
+    def folded(self):
+        """Inference-mode affine (scale, offset): sx+o == BN(x)."""
+        s = self.gamma * lax.rsqrt(self.mov_var.value + 1e-3)
+        return s, self.beta - self.mov_mean.value * s
 
 
 class FRNet(nn.Module):
@@ -125,48 +141,70 @@ class FRNet(nn.Module):
 
     layers: int = 52
     scale: int = 4
-    conv3d_impl: str = "auto"  # "auto" | "pallas" | "xla"
+    conv3d_impl: str = "auto"  # "auto" | "fused" | "pallas" | "xla"
 
     @nn.compact
     def __call__(self, x, is_train: bool):
-        n_thw, n_hw, growth, _ = _FR_CONFIGS[self.layers]
+        n_thw, n_hw, growth, conv2_in = _FR_CONFIGS[self.layers]
         r2 = self.scale * self.scale
         impl = self.conv3d_impl
         if impl == "auto":
-            # measured (v5e, 720p, bf16, batch 1): per-conv tap-packing
-            # ("pallas" here) is 2x faster per conv but the XLA glue
-            # around it (concat 40 ms, pads 19 ms, BN/conv_a fusions
-            # 108 ms per frame) dominates, so model-level auto stays XLA
-            # until the fused whole-block kernel path lands
-            impl = "xla"
-        bn = lambda name: RefBatchNorm(name=name)
-        x = Conv3D(64, (1, 3, 3), pad="hw", name="conv1")(x)
+            # "fused" = whole-block Pallas chain (inference only; measured
+            # rationale in ops/pallas/duf_block.py); training keeps the
+            # XLA lowering with its native vjp and live batch stats
+            impl = ("fused" if jax.default_backend() == "tpu"
+                    and not is_train else "xla")
+        x = Conv3D(64, (1, 3, 3), in_features=3, pad="hw", name="conv1")(x)
         feats = 64
+        mods = []
         for r in range(n_thw + n_hw):
-            t = bn(f"Rbn{r + 1}a")(x, is_train)
-            t = nn.relu(t)
-            t = Conv3D(feats, (1, 1, 1), name=f"Rconv{r + 1}a")(t)
-            t = bn(f"Rbn{r + 1}b")(t, is_train)
-            t = nn.relu(t)
-            if r < n_thw:
-                t = Conv3D(growth, (3, 3, 3), pad="thw", impl=impl,
-                           name=f"Rconv{r + 1}b")(t)
-                x = jnp.concatenate([x, t], axis=4)
-            else:
-                # temporally-VALID conv shrinks T by 2; crop x to match
-                t = Conv3D(growth, (3, 3, 3), pad="hw", impl=impl,
-                           name=f"Rconv{r + 1}b")(t)
-                x = jnp.concatenate([x[:, 1:-1], t], axis=4)
+            mode = "thw" if r < n_thw else "hw"
+            mods.append((
+                RefBatchNorm(features=feats, name=f"Rbn{r + 1}a"),
+                Conv3D(feats, (1, 1, 1), in_features=feats,
+                       name=f"Rconv{r + 1}a"),
+                RefBatchNorm(features=feats, name=f"Rbn{r + 1}b"),
+                Conv3D(growth, (3, 3, 3), in_features=feats, pad=mode,
+                       impl="pallas" if impl == "pallas" else "xla",
+                       name=f"Rconv{r + 1}b"),
+                mode,
+            ))
             feats += growth
 
-        x = nn.relu(bn("fbn1")(x, is_train))
-        x = nn.relu(Conv3D(256, (1, 3, 3), pad="hw", name="conv2")(x))
+        if impl == "fused" and not is_train:
+            from pfnl_tpu.ops.pallas.duf_block import (
+                BlockParams, dense_backbone_fused)
 
-        r = nn.relu(Conv3D(256, (1, 1, 1), name="rconv1")(x))
-        r = Conv3D(3 * r2, (1, 1, 1), name="rconv2")(r)
+            blocks = []
+            for bna, ca, bnb, cb, mode in mods:
+                sa, oa = bna.folded()
+                sb, ob_bn = bnb.folded()
+                blocks.append(BlockParams(
+                    sa=sa, oa=oa, wa=ca.w.reshape(ca.in_features, ca.features),
+                    sb=sb, ob=sb * ca.b + ob_bn, wb=cb.w, bb=cb.b, mode=mode,
+                ))
+            x = dense_backbone_fused(x, blocks)
+        else:
+            for bna, ca, bnb, cb, mode in mods:
+                t = nn.relu(bna(x, is_train))
+                t = ca(t)
+                t = nn.relu(bnb(t, is_train))
+                t = cb(t)
+                if mode == "thw":
+                    x = jnp.concatenate([x, t], axis=4)
+                else:
+                    # temporally-VALID conv shrinks T by 2; crop x to match
+                    x = jnp.concatenate([x[:, 1:-1], t], axis=4)
 
-        f = nn.relu(Conv3D(512, (1, 1, 1), name="fconv1")(x))
-        f = Conv3D(25 * r2, (1, 1, 1), name="fconv2")(f)
+        x = nn.relu(RefBatchNorm(features=conv2_in, name="fbn1")(x, is_train))
+        x = nn.relu(Conv3D(256, (1, 3, 3), in_features=conv2_in, pad="hw",
+                           name="conv2")(x))
+
+        r = nn.relu(Conv3D(256, (1, 1, 1), in_features=256, name="rconv1")(x))
+        r = Conv3D(3 * r2, (1, 1, 1), in_features=256, name="rconv2")(r)
+
+        f = nn.relu(Conv3D(512, (1, 1, 1), in_features=256, name="fconv1")(x))
+        f = Conv3D(25 * r2, (1, 1, 1), in_features=512, name="fconv2")(f)
         b, t_out, h, w, _ = f.shape
         f = f.reshape(b, t_out, h, w, 25, r2)
         f = nn.softmax(f.astype(jnp.float32), axis=4)

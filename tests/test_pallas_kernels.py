@@ -206,3 +206,23 @@ def test_duf_model_conv3d_impls_agree(rng):
     ref = np.asarray(m_x.apply(variables, x, is_train=False)["sr"])
     got = np.asarray(m_p.apply(variables, x, is_train=False)["sr"])
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_duf_fused_backbone_matches_xla(rng):
+    """Whole-block fused dense-chain kernel (duf_block.py) == XLA forward
+    bit-for-bit in f32 interpret mode, params tree identical."""
+    from pfnl_tpu.models.duf import DUF
+
+    x = jnp.asarray(rng.random((1, 7, 8, 12, 3)).astype(np.float32))
+    m_x = DUF(num_frames=7, layers=16, conv3d_impl="xla")
+    m_f = DUF(num_frames=7, layers=16, conv3d_impl="fused")
+    vx = m_x.init(jax.random.PRNGKey(0), x, is_train=False)
+    vf = m_f.init(jax.random.PRNGKey(0), x, is_train=False)
+    assert jax.tree.map(lambda a: a.shape, vx) == jax.tree.map(
+        lambda a: a.shape, vf)
+    variables = dict(vx)
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: jnp.ones_like(a), variables["batch_stats"])
+    ref = np.asarray(m_x.apply(variables, x, is_train=False)["sr"])
+    got = np.asarray(m_f.apply(variables, x, is_train=False)["sr"])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
