@@ -53,6 +53,10 @@ def _resize_matrix(n_in: int, n_out: int, method: str, mapping: str) -> np.ndarr
         src = dst * scale
     elif mapping == "half_pixel":
         src = (dst + 0.5) * scale - 0.5
+    elif mapping == "align_corners":
+        # TF1 resize_images(align_corners=True) (FlowNet-C pre/post
+        # resizes, reference modules/model_flownet.py:252,315)
+        src = dst * ((n_in - 1) / max(n_out - 1, 1))
     else:
         raise ValueError(f"unknown coordinate mapping: {mapping}")
 
