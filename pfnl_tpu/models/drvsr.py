@@ -20,7 +20,7 @@ from pfnl_tpu.models.flows import EasyFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.convlstm import ConvLSTMCell
 from pfnl_tpu.ops.resize import resize_bicubic
-from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
+from pfnl_tpu.ops.warp import forward_warp_local, forward_warp_spmc
 
 _xavier = nn.initializers.glorot_uniform
 
@@ -28,22 +28,25 @@ _xavier = nn.initializers.glorot_uniform
 class _SRStep(nn.Module):
     """One encoder/ConvLSTM/decoder step over a single HR-warped frame."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, state, rnn_input):
         act = nn.relu
         conv = lambda feats, k, name, stride=1: nn.Conv(
             feats, (k, k), strides=(stride, stride), padding="SAME",
-            kernel_init=_xavier(), name=name,
+            kernel_init=_xavier(), dtype=self.dtype, name=name,
         )
         deconv = lambda feats, k, name: nn.ConvTranspose(
             feats, (k, k), strides=(2, 2), padding="SAME",
-            kernel_init=_xavier(), name=name,
+            kernel_init=_xavier(), dtype=self.dtype, name=name,
         )
         conv1 = act(conv(32, 5, "enc1")(rnn_input))
         conv2 = act(conv(64, 3, "enc2", stride=2)(conv1))
         conv2_1 = act(conv(64, 3, "enc2_1")(conv2))
         conv3 = act(conv(128, 3, "enc3", stride=2)(conv2_1))
-        state, y1 = ConvLSTMCell(128, (3, 3), name="lstm")(state, conv3)
+        state, y1 = ConvLSTMCell(128, (3, 3), dtype=self.dtype,
+                                 name="lstm")(state, conv3)
         conv3_1 = act(conv(128, 3, "enc3_1")(y1))
         dec1 = act(deconv(64, 4, "dec1")(conv3_1))
         dec1_1 = act(conv(64, 3, "dec1_1")(dec1 + conv2_1))
@@ -56,32 +59,33 @@ class _SRStep(nn.Module):
 class DRVSR(nn.Module):
     num_frames: int = 3
     scale: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.flownet = EasyFlow(name="easyflow")
-        self.sr_step = _SRStep(name="srmodel")
+        self.flownet = EasyFlow(dtype=self.dtype, name="easyflow")
+        self.sr_step = _SRStep(dtype=self.dtype, name="srmodel")
 
     def __call__(self, frames_lr):
         n, t, h, w, c = frames_lr.shape
         out_h, out_w = h * self.scale, w * self.scale
         idx0 = t // 2
-        frames_y = rgb2y(frames_lr)
+        frames_y = rgb2y(frames_lr.astype(self.dtype))
         ref_y = frames_y[:, idx0]
         bic_ref = resize_bicubic(ref_y, (out_h, out_w))
 
         flat = frames_y.reshape(n * t, h, w, 1)
         ref_rep = jnp.broadcast_to(ref_y[:, None], (n, t, h, w, 1)).reshape(n * t, h, w, 1)
         uv = self.flownet(flat, ref_rep)
-        # SPMC HR splat stays on segment_sum: the LR source count is small
-        # enough that the scatter (27 ms/step) beats the 400-term
-        # phase-grouped shift-add variant (measured 2x slower end-to-end;
-        # ops/warp.py::forward_warp_local_spmc kept for reference)
-        warped_hr = forward_warp(flat, uv, (out_h, out_w)).reshape(n, t, out_h, out_w, 1)
+        # SPMC HR splat: Pallas phase-accumulation kernel + analytic
+        # gather adjoint (ops/pallas/spmc_splat.py) — scatter-free in
+        # both directions; EasyFlow's tanh-bounded flow keeps |uv| <= 2
+        warped_hr = forward_warp_spmc(flat, uv, self.scale).reshape(
+            n, t, out_h, out_w, 1)
         # the LR-grid flow-loss warp is EasyFlow-bounded (|uv| <= 2)
         warped_lr = forward_warp_local(flat, uv, max_disp=2).reshape(n, t, h, w, 1)
         uv = uv.reshape(n, t, h, w, 2)
 
-        state0 = ConvLSTMCell.zero_state(n, out_h // 4, out_w // 4, 128, frames_lr.dtype)
+        state0 = ConvLSTMCell.zero_state(n, out_h // 4, out_w // 4, 128, self.dtype)
 
         scan_fn = nn.scan(
             lambda mdl, st, xi: mdl(st, xi),
@@ -91,7 +95,7 @@ class DRVSR(nn.Module):
             out_axes=1,
         )
         _, outs = scan_fn(self.sr_step, state0, warped_hr)
-        sr = outs + bic_ref[:, None]
+        sr = (outs + bic_ref[:, None]).astype(jnp.float32)
 
         return {
             "sr": sr,                 # [N,T,H,W,1]

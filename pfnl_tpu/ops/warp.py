@@ -18,6 +18,8 @@ accumulate-at-border semantics.  Both are differentiable through the
 segment-sum/gather adjoints, matching the reference's gradient paths.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -211,6 +213,99 @@ def forward_warp_local_spmc(im: jax.Array, uv: jax.Array, scale: int,
     if fold is not None:
         n, t = fold
         out = out.reshape(n, t, oh, ow, c)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spmc_core(im, uv, scale, max_disp):
+    return _spmc_fwd(im, uv, scale, max_disp)[0]
+
+
+def _spmc_fwd(im, uv, scale, max_disp):
+    from pfnl_tpu.ops.pallas.spmc_splat import spmc_phases
+
+    b, h, w, c = im.shape
+    s, r = int(scale), int(max_disp)
+    p = r + 1
+    h2, w2 = h + 2 * p, w + 2 * p
+    phases = spmc_phases(im[..., 0], uv, s, r)          # [b, s*s, h2, w2]
+    ph = phases.reshape(b, s, s, h2, w2)
+    hr = ph.transpose(0, 3, 1, 4, 2).reshape(b, h2 * s, w2 * s)
+    # fold the margins onto the borders (= the reference's index clip,
+    # videosr_ops.py:455-466) — same tail as forward_warp_local_spmc
+    m_ = p * s
+    oh, ow = h * s, w * s
+    mid = hr[:, m_:m_ + oh]
+    mid = mid.at[:, 0].add(hr[:, :m_].sum(axis=1))
+    mid = mid.at[:, oh - 1].add(hr[:, m_ + oh:].sum(axis=1))
+    out = mid[:, :, m_:m_ + ow]
+    out = out.at[:, :, 0].add(mid[:, :, :m_].sum(axis=2))
+    out = out.at[:, :, ow - 1].add(mid[:, :, m_ + ow:].sum(axis=2))
+    return out[..., None].astype(im.dtype), (im, uv)
+
+
+def _spmc_bwd(scale, max_disp, res, g):
+    """Analytic adjoint of the bilinear splat — gathers of the cotangent
+    at the (clipped) tap positions, identical to segment_sum's adjoint
+    but without any scatter in either direction."""
+    im, uv = res
+    b, h, w, c = im.shape
+    s = int(scale)
+    oh, ow = h * s, w * s
+    g2 = g[..., 0].astype(jnp.float32)
+    imf = im[..., 0].astype(jnp.float32)
+    uvf = uv.astype(jnp.float32)
+
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = (gx + uvf[..., 0]) * s
+    y = (gy + uvf[..., 1]) * s
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    x1f = x0f + 1.0
+    y1f = y0f + 1.0
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, ow - 1)
+    x1 = jnp.clip(x1f.astype(jnp.int32), 0, ow - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, oh - 1)
+    y1 = jnp.clip(y1f.astype(jnp.int32), 0, oh - 1)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    ga = g2[bidx, y0, x0]
+    gb = g2[bidx, y1, x0]
+    gc = g2[bidx, y0, x1]
+    gd = g2[bidx, y1, x1]
+
+    wa = (x1f - x) * (y1f - y)
+    wb = (x1f - x) * (y - y0f)
+    wc = (x - x0f) * (y1f - y)
+    wd = (x - x0f) * (y - y0f)
+    d_im = wa * ga + wb * gb + wc * gc + wd * gd
+    d_x = -(y1f - y) * ga - (y - y0f) * gb + (y1f - y) * gc + (y - y0f) * gd
+    d_y = -(x1f - x) * ga + (x1f - x) * gb - (x - x0f) * gc + (x - x0f) * gd
+    d_uv = jnp.stack([s * imf * d_x, s * imf * d_y], axis=-1)
+    return d_im[..., None].astype(im.dtype), d_uv.astype(uv.dtype)
+
+
+_spmc_core.defvjp(_spmc_fwd, _spmc_bwd)
+
+
+def forward_warp_spmc(im: jax.Array, uv: jax.Array, scale: int,
+                      max_disp: int = 2) -> jax.Array:
+    """SPMC upscale-while-warp splat for BOUNDED single-channel inputs —
+    equivalent to `forward_warp(im, uv, (h*scale, w*scale))` but with the
+    splat accumulation in a Pallas kernel (ops/pallas/spmc_splat.py) and
+    an analytic gather-based gradient (no scatter anywhere).
+
+    im: [B,H,W,1] or [N,T,H,W,1]; uv with |uv| <= max_disp (DRVSR's
+    EasyFlow-driven SPMC qualifies with R=2, model/drvsr.py:145)."""
+    im, fold = _fold5d(im)
+    uv, _ = _fold5d(uv)
+    b, h, w, c = im.shape
+    assert c == 1, "forward_warp_spmc is single-channel (Y) only"
+    out = _spmc_core(im, uv, int(scale), int(max_disp))
+    if fold is not None:
+        n, t = fold
+        out = out.reshape(n, t, h * scale, w * scale, c)
     return out
 
 

@@ -215,3 +215,43 @@ def test_forward_warp_local_spmc(rng):
     np.testing.assert_allclose(
         np.asarray(forward_warp_local_spmc(im, uv, 4, max_disp=2)),
         np.asarray(forward_warp(im, uv, (36, 52))), atol=1e-5)
+
+
+def test_forward_warp_spmc_kernel_matches_segment(rng):
+    """Pallas phase-splat (forward_warp_spmc) == segment-sum splat for
+    bounded flows, including values at the |uv|<=2 bound and border
+    pixels whose taps clip (interpret mode on CPU)."""
+    from pfnl_tpu.ops.warp import forward_warp_spmc
+
+    im = rng.random((2, 6, 9, 1)).astype(np.float32)
+    uv = (rng.random((2, 6, 9, 2)).astype(np.float32) - 0.5) * 4.0
+    uv[0, 0, 0] = [2.0, -2.0]  # exact bound
+    uv[0, -1, -1] = [-2.0, 2.0]
+    got = np.asarray(forward_warp_spmc(im, uv, 4))
+    ref = np.asarray(forward_warp(im, uv, (24, 36)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # 5-D fold
+    got5 = np.asarray(forward_warp_spmc(im[None], uv[None], 4))
+    assert got5.shape == (1, 2, 24, 36, 1)
+    np.testing.assert_allclose(got5[0], ref, atol=1e-5)
+
+
+def test_forward_warp_spmc_gradients_match_segment(rng):
+    """The analytic gather adjoint == segment_sum's autodiff adjoint for
+    both the image and the flow."""
+    import jax
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.warp import forward_warp_spmc
+
+    im = jnp.asarray(rng.random((1, 5, 6, 1)).astype(np.float32))
+    uv = jnp.asarray((rng.random((1, 5, 6, 2)).astype(np.float32) - 0.5) * 3.5)
+    tgt = jnp.asarray(rng.random((1, 20, 24, 1)).astype(np.float32))
+
+    loss_new = lambda i, f: jnp.sum((forward_warp_spmc(i, f, 4) - tgt) ** 2)
+    loss_ref = lambda i, f: jnp.sum((forward_warp(i, f, (20, 24)) - tgt) ** 2)
+    gi_new, gf_new = jax.grad(loss_new, argnums=(0, 1))(im, uv)
+    gi_ref, gf_ref = jax.grad(loss_ref, argnums=(0, 1))(im, uv)
+    np.testing.assert_allclose(np.asarray(gi_new), np.asarray(gi_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_new), np.asarray(gf_ref),
+                               atol=1e-4)
