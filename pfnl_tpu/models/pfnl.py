@@ -36,10 +36,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
-from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain, pfrb_chain_xla
+from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
 from pfnl_tpu.ops.pallas.pfnl_tail import blocks_and_tail_pack
 from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
-from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
 from pfnl_tpu.ops.resize import resize_bicubic
 
@@ -117,8 +116,6 @@ class PFNL(nn.Module):
             impl = "pallas_pack" if (jax.default_backend() == "tpu" and big) else "xla"
         chain_fn = {
             "xla": pfrb_chain_xla,
-            "pallas": pfrb_chain,          # single manual-DMA kernel (parked)
-            "pallas_split": pfrb_chain_split,  # 64-lane two-kernel (superseded)
             "pallas_chain": pfrb_chain_pack,   # packed chain + XLA tail
             "pallas_pack": None,  # handled by the fused branch below
         }[impl]

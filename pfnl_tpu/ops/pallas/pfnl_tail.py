@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfnl_tpu.ops.pallas.pfrb_fused import _lrelu, _prec
+from pfnl_tpu.ops.pallas.common import _lrelu, _prec
 
 
 def _pack_pair_groups(w: jax.Array, group: int = 64) -> jax.Array:
@@ -231,7 +231,7 @@ def _xla_tail_only(feat5, wm1, bm1, km2, bm2):
 
 def _xla_blocks_tail(feat, params_list, wm1, bm1, km2, bm2):
     """XLA oracle composition (tests): PFRB chain + merge tail."""
-    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
 
     return _xla_tail_only(pfrb_chain_xla(feat, params_list), wm1, bm1, km2, bm2)
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfnl_tpu.ops.pallas.pfrb_fused import _prec
+from pfnl_tpu.ops.pallas.common import _prec
 from pfnl_tpu.ops.pallas.pfrb_pack import (
     _assemble, _conv2d_pack, _masks_pack, _pack_pair, _row_valid_pack, _specs,
 )

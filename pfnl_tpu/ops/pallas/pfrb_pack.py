@@ -1,6 +1,7 @@
 """Fused PFRB as two Pallas kernels on a column-PAIR packed layout.
 
-Supersedes pfrb_split.py's 64-lane layout.  Measured on v5e: HBM arrays
+Supersedes the earlier 64-lane two-kernel layout (removed; see git
+history).  Measured on v5e: HBM arrays
 whose minor dim is 64 are physically lane-padded to 128, so every DMA of
 the [.., C2, 64] activation moved 2x its logical bytes (262 vs 460+ GB/s
 logical copy rate, scripts/conv_variants_bench.py experiments).  Here two
@@ -19,7 +20,7 @@ Wpk [384, 256] (from _pack_pair) carries each input pair's contribution
 to its own output pair ("self" half) and to the previous output pair
 ("next" half); 1/4 of it is structurally zero (the packing costs ~1.33x
 the dense conv FLOPs) but N=256 runs ~2x the N=64 MXU issue rate, a
-large net win.  Conv convention matches pfrb_split: output flat (r, c)
+large net win.  Conv convention: output flat (r, c)
 is the conv centered at input grid (r+1, c+1).
 
 Kernel A computes i1 per frame and accumulates the 1x1 temporal fusion
@@ -40,7 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfnl_tpu.ops.pallas.pfrb_fused import _lrelu, _prec, _round_up, pfrb_chain_xla
+from pfnl_tpu.ops.pallas.common import _lrelu, _prec, _round_up
+from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
 
 
 def _pack_pair(w: jax.Array) -> jax.Array:

@@ -110,12 +110,12 @@ def test_duf_forward(layers):
     assert np.all(np.asarray(leaf) == 0)
 
 
-def test_pfnl_pallas_split_path_matches_xla():
+def test_pfnl_pallas_chain_path_matches_xla():
     """Model-level equivalence of the two PFRB execution paths (interpret)."""
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((1, 3, 16, 18, 3)), jnp.float32)
     m_xla = PFNL(num_frames=3, num_blocks=2, pfrb_impl="xla")
-    m_pal = PFNL(num_frames=3, num_blocks=2, pfrb_impl="pallas_split")
+    m_pal = PFNL(num_frames=3, num_blocks=2, pfrb_impl="pallas_chain")
     variables = m_xla.init(jax.random.PRNGKey(0), x)
     a = np.asarray(m_xla.apply(variables, x)["sr"])
     b = np.asarray(m_pal.apply(variables, x)["sr"])

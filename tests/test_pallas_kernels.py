@@ -36,10 +36,10 @@ def test_nonlocal_flash_large_logits(rng):
 
 
 def test_pfrb_chains_match_xla(rng):
-    """Both fused PFRB implementations vs the XLA reference (interpret)."""
+    """The packed PFRB chain vs the XLA reference (interpret mode)."""
     import jax.numpy as jnp
-    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain, pfrb_chain_xla
-    from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
+    from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
 
     c, t = 64, 3
     params = [
@@ -52,11 +52,6 @@ def test_pfrb_chains_match_xla(rng):
     ]
     feat = jnp.asarray(rng.standard_normal((1, t, 10, 18, c)).astype(np.float32)) * 0.1
     ref = np.asarray(pfrb_chain_xla(feat, params))
-    np.testing.assert_allclose(np.asarray(pfrb_chain(feat, params)), ref, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(pfrb_chain_split(feat, params)), ref, atol=2e-6)
-
-    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
-
     np.testing.assert_allclose(np.asarray(pfrb_chain_pack(feat, params)), ref, atol=2e-6)
 
 
@@ -93,7 +88,7 @@ def test_pfnl_tail_pack_matches_xla(rng):
 def test_pfrb_pack_odd_sizes(rng):
     """Pair-packed path at odd H/W and T not divisible by the frame group."""
     import jax.numpy as jnp
-    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
     from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
 
     c, t = 64, 5
@@ -112,8 +107,8 @@ def test_pfrb_pack_odd_sizes(rng):
 def test_pfrb_chain_gradient(rng):
     import jax
     import jax.numpy as jnp
-    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
-    from pfnl_tpu.ops.pallas.pfrb_split import pfrb_chain_split
+    from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
 
     c, t = 64, 2
     params = [
@@ -124,12 +119,7 @@ def test_pfrb_chain_gradient(rng):
         )
     ]
     feat = jnp.asarray(rng.standard_normal((1, t, 8, 16, c)).astype(np.float32)) * 0.1
-    g = jax.grad(lambda f: jnp.sum(pfrb_chain_split(f, params) ** 2))(feat)
     gr = jax.grad(lambda f: jnp.sum(pfrb_chain_xla(f, params) ** 2))(feat)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-4)
-
-    from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
-
     gp = jax.grad(lambda f: jnp.sum(pfrb_chain_pack(f, params) ** 2))(feat)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-4)
 
@@ -140,7 +130,7 @@ def test_pfrb_pallas_backward_matches_autodiff(rng):
     import jax
     import jax.numpy as jnp
     from pfnl_tpu.ops.pallas.pfrb_bwd import chain_bwd_pallas
-    from pfnl_tpu.ops.pallas.pfrb_fused import pfrb_chain_xla
+    from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
     from pfnl_tpu.ops.pallas.pfrb_pack import (
         _chain_pack_run, pick_rows, pick_tb,
     )
