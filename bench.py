@@ -175,9 +175,8 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
     from pfnl_tpu.models import MODEL_REGISTRY
 
     h, w = (int(v) for v in hw.split("x"))
-    kwargs = {"num_frames": frames}
-    if model in ("pfnl", "duf"):
-        kwargs["dtype"] = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    kwargs = {"num_frames": frames,
+              "dtype": jnp.bfloat16 if dtype == "bfloat16" else jnp.float32}
     if model == "pfnl":
         kwargs["nonlocal_impl"] = "auto"
     m = MODEL_REGISTRY[model](**kwargs)

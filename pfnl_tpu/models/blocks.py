@@ -26,7 +26,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
-        return jax.nn.relu(x) + alpha * (x - jnp.abs(x)) * 0.5
+        return jax.nn.relu(x) + alpha.astype(x.dtype) * (x - jnp.abs(x)) * 0.5
 
 
 class NonLocalBlock(nn.Module):

@@ -29,16 +29,22 @@ class FRVSR(nn.Module):
     scale: int = 4
     mf: int = 128
     num_blocks: int = 10
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        conv = lambda feats, k, name: nn.Conv(feats, (k, k), padding="SAME", name=name)
-        self.flownet = FRVSRFlow(name="flow")
+        conv = lambda feats, k, name: nn.Conv(feats, (k, k), padding="SAME",
+                                              dtype=self.dtype, name=name)
+        self.flownet = FRVSRFlow(dtype=self.dtype, name="flow")
         self.conv0_0 = conv(self.mf, 3, "conv0_0")
         self.conv0_1 = conv(self.mf, 3, "conv0_1")
         self.conv1 = [conv(self.mf, 3, f"conv1_{j}") for j in range(self.num_blocks)]
         self.conv2 = [conv(self.mf, 3, f"conv2_{j}") for j in range(self.num_blocks)]
-        self.large1 = nn.ConvTranspose(self.mf, (3, 3), strides=(2, 2), padding="SAME", name="large1")
-        self.large2 = nn.ConvTranspose(self.mf, (3, 3), strides=(2, 2), padding="SAME", name="large2")
+        self.large1 = nn.ConvTranspose(self.mf, (3, 3), strides=(2, 2),
+                                       padding="SAME", dtype=self.dtype,
+                                       name="large1")
+        self.large2 = nn.ConvTranspose(self.mf, (3, 3), strides=(2, 2),
+                                       padding="SAME", dtype=self.dtype,
+                                       name="large2")
         self.out_conv = conv(3, 3, "out")
 
     def _trunk(self, inp, first: bool):
@@ -65,13 +71,17 @@ class FRVSR(nn.Module):
     def step(self, x, xp=None, est=None):
         """One recurrent step. x: current LR [N,h,w,3]; xp: previous LR;
         est: previous SR [N,H,W,3].  Returns SR [N,H,W,3]."""
+        x = x.astype(self.dtype)
         if xp is None:
             return self._trunk(x, first=True)
+        xp = xp.astype(self.dtype)
+        est = est.astype(self.dtype)
         uv = self.flownet(x, xp)
         est_lr = self._upscale_warp(uv, est)
         return self._trunk(jnp.concatenate([x, est_lr], axis=-1), first=False)
 
     def __call__(self, frames_lr):
+        frames_lr = frames_lr.astype(self.dtype)
         n, t, h, w, c = frames_lr.shape
         srs = []
         warps = []
@@ -88,6 +98,6 @@ class FRVSR(nn.Module):
                 sr = self._trunk(jnp.concatenate([x, est_lr], axis=-1), first=False)
             srs.append(sr)
         return {
-            "sr": jnp.stack(srs, axis=1),        # [N,T,H,W,3]
+            "sr": jnp.stack(srs, axis=1).astype(jnp.float32),   # [N,T,H,W,3]
             "warps": jnp.stack(warps, axis=1),    # [N,T-1,h,w,3]
         }

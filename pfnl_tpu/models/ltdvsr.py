@@ -22,11 +22,13 @@ from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 class LTDVSR(nn.Module):
     num_frames: int = 5
     scale: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.flownet = LTDFlow(name="flow")
+        self.flownet = LTDFlow(dtype=self.dtype, name="flow")
         conv = lambda feats, k, name: nn.Conv(
-            feats, (k, k), padding="SAME", kernel_init=xavier_uniform(), name=name
+            feats, (k, k), padding="SAME", kernel_init=xavier_uniform(),
+            dtype=self.dtype, name=name
         )
         for b in range(3):
             setattr(self, f"branch{b}_0", conv(64, 5, f"conv{b}_0"))
@@ -49,7 +51,7 @@ class LTDVSR(nn.Module):
         n, t, h, w, c = frames_lr.shape
         out_h, out_w = h * self.scale, w * self.scale
         idx0 = t // 2
-        frames_y = rgb2y(frames_lr)
+        frames_y = rgb2y(frames_lr.astype(self.dtype))
         ref_y = frames_y[:, idx0]
 
         flat = frames_y.reshape(n * t, h, w, 1)
@@ -77,7 +79,7 @@ class LTDVSR(nn.Module):
             est0 * weights[..., 0:1]
             + est1 * weights[..., 1:2]
             + est2 * weights[..., 2:3]
-        )
+        ).astype(jnp.float32)
 
         return {
             "sr": sr[:, None],

@@ -26,11 +26,13 @@ from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 class MCResNet(nn.Module):
     num_frames: int = 5
     scale: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.flownet = EasyFlow(name="easyflow")
+        self.flownet = EasyFlow(dtype=self.dtype, name="easyflow")
         conv = lambda feats, k, name: nn.Conv(
-            feats, (k, k), padding="SAME", kernel_init=xavier_uniform(), name=name
+            feats, (k, k), padding="SAME", kernel_init=xavier_uniform(),
+            dtype=self.dtype, name=name
         )
         radius = self.num_frames // 2
         self.enc1 = [conv(64, 5, f"enc1_{d}") for d in range(radius + 1)]
@@ -45,7 +47,7 @@ class MCResNet(nn.Module):
         n, t, h, w, c = frames_lr.shape
         out_h, out_w = h * self.scale, w * self.scale
         idx0 = t // 2
-        frames_y = rgb2y(frames_lr)
+        frames_y = rgb2y(frames_lr.astype(self.dtype))
         ref_y = frames_y[:, idx0]
         bic_ref = resize_bicubic(ref_y, (out_h, out_w))
 
@@ -74,7 +76,7 @@ class MCResNet(nn.Module):
         x = pixel_shuffle_legacy(x, 2, 4)
         x = self.rnn_out(x)
         x = pixel_shuffle_legacy(x, 2, 1)
-        sr = x + bic_ref
+        sr = (x + bic_ref).astype(jnp.float32)
 
         return {
             "sr": sr[:, None],

@@ -26,11 +26,13 @@ from pfnl_tpu.ops.warp import forward_warp, forward_warp_local
 class VESPCN(nn.Module):
     num_frames: int = 3
     scale: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.flownet = EasyFlow(name="easyflow")
+        self.flownet = EasyFlow(dtype=self.dtype, name="easyflow")
         conv = lambda feats, k, name: nn.Conv(
-            feats, (k, k), padding="SAME", kernel_init=xavier_uniform(), name=name
+            feats, (k, k), padding="SAME", kernel_init=xavier_uniform(),
+            dtype=self.dtype, name=name
         )
         self.enc1 = conv(24, 5, "enc1")
         self.enc2 = [conv(24, 3, f"enc2_{i}") for i in range(9)]
@@ -42,7 +44,7 @@ class VESPCN(nn.Module):
         n, t, h, w, c = frames_lr.shape
         out_h, out_w = h * self.scale, w * self.scale
         idx0 = t // 2
-        frames_y = rgb2y(frames_lr)  # [N,T,h,w,1]
+        frames_y = rgb2y(frames_lr.astype(self.dtype))  # [N,T,h,w,1]
         ref_y = frames_y[:, idx0]
         bic_ref = resize_bicubic(ref_y, (out_h, out_w))
 
@@ -63,7 +65,7 @@ class VESPCN(nn.Module):
         x = pixel_shuffle_legacy(x, 2, 4)
         x = self.rnn_out(x)  # no activation (model/vespcn.py:98)
         x = pixel_shuffle_legacy(x, 2, 1)
-        sr = x + bic_ref
+        sr = (x + bic_ref).astype(jnp.float32)
 
         return {
             "sr": sr[:, None],

@@ -17,6 +17,7 @@ class ConvLSTMCell(nn.Module):
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     forget_bias: float = 1.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, state, x):
@@ -27,6 +28,7 @@ class ConvLSTMCell(nn.Module):
             padding="SAME",
             kernel_init=nn.initializers.truncated_normal(stddev=1e-3),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="gates",
         )(jnp.concatenate([x, h], axis=-1))
         i, j, f, o = jnp.split(gates, 4, axis=-1)
