@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from pfnl_tpu.config import Config
 from pfnl_tpu.data.manifest import load_manifest
-from pfnl_tpu.eval.metrics import compute_ssim
+from pfnl_tpu.eval.metrics import compute_ssim, compute_ssim_batch
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.degrade import downsample
 from pfnl_tpu.utils.image_io import imread
@@ -162,17 +162,14 @@ class Evaluator:
             mse = np.asarray(mse)
             mse_acc = mse if mse_acc is None else np.concatenate([mse_acc, mse], 0)
             if want_ssim:
-                srn = np.asarray(sr)
-                gtn_y = np.asarray(rgb2y(gt))
-                ssim = np.array(
-                    [
-                        [
-                            compute_ssim(srn[ib, it, :, :, 0], gtn_y[ib, 0, :, :, 0], l=1.0)
-                            for it in range(srn.shape[1])
-                        ]
-                        for ib in range(srn.shape[0])
-                    ]
-                )
+                # one batched on-device SSIM call (the old host loop
+                # serialized O(windows x frames) scipy convolutions)
+                gt_y = rgb2y(gt)[:, 0, :, :, 0]
+                ssim = np.asarray(compute_ssim_batch(
+                    sr[..., 0],
+                    jnp.broadcast_to(gt_y[:, None], sr[..., 0].shape),
+                    l=1.0,
+                ))
                 ssim_acc = ssim if ssim_acc is None else np.concatenate([ssim_acc, ssim], 0)
             print_fn(f"\tEval batch {cnt} - {cnt + cfg.eval_batch_size} ...")
             cnt += cfg.eval_batch_size

@@ -74,6 +74,44 @@ def ssim_y_matlab(img1: np.ndarray, img2: np.ndarray) -> float:
     return compute_ssim(_to_y(img1), _to_y(img2), l=255.0)
 
 
+def compute_ssim_batch(im1, im2, l: float = 1.0):
+    """Batched on-device Wang-SSIM over [..., H, W] image stacks.
+
+    Same window/formula/boundary as `compute_ssim` (scipy.ndimage
+    'reflect' == symmetric padding; the Gaussian window is symmetric so
+    correlation == convolution), computed in float32 on the accelerator
+    as ONE jitted call instead of a serialized host loop per frame —
+    the eval-time path (eval/evaluator.py); offline parity tables keep
+    the float64 host implementation."""
+    import jax
+    import jax.numpy as jnp
+
+    im1 = jnp.asarray(im1)
+    lead = im1.shape[:-2]
+    h, w = im1.shape[-2:]
+    x = jnp.reshape(im1, (-1, h, w, 1)).astype(jnp.float32)
+    y = jnp.reshape(jnp.asarray(im2), (-1, h, w, 1)).astype(jnp.float32)
+
+    window = jnp.asarray(_gauss2d((11, 11), 1.5), jnp.float32)[:, :, None, None]
+    pad = lambda v: jnp.pad(v, ((0, 0), (5, 5), (5, 5), (0, 0)), mode="symmetric")
+    conv = lambda v: jax.lax.conv_general_dilated(
+        pad(v), window, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    c1 = (0.01 * l) ** 2
+    c2 = (0.03 * l) ** 2
+    mu1, mu2 = conv(x), conv(y)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(x * x) - mu1_sq
+    s2 = conv(y * y) - mu2_sq
+    s12 = conv(x * y) - mu12
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(ssim_map, axis=(1, 2, 3)).reshape(lead)
+
+
 def avg_psnr(
     vid_true: np.ndarray,
     vid_pred: np.ndarray,
