@@ -89,8 +89,25 @@ def compute_ssim_batch(im1, im2, l: float = 1.0):
     im1 = jnp.asarray(im1)
     lead = im1.shape[:-2]
     h, w = im1.shape[-2:]
+    global _SSIM_BATCH_JIT
+    if _SSIM_BATCH_JIT is None:
+        _SSIM_BATCH_JIT = jax.jit(_ssim_batch_impl, static_argnums=(2,))
+    flat = _SSIM_BATCH_JIT(
+        jnp.reshape(im1, (-1, h, w)), jnp.reshape(jnp.asarray(im2), (-1, h, w)), l
+    )
+    return jnp.reshape(flat, lead)
+
+
+_SSIM_BATCH_JIT = None
+
+
+def _ssim_batch_impl(im1, im2, l):
+    import jax
+    import jax.numpy as jnp
+
+    h, w = im1.shape[-2:]
     x = jnp.reshape(im1, (-1, h, w, 1)).astype(jnp.float32)
-    y = jnp.reshape(jnp.asarray(im2), (-1, h, w, 1)).astype(jnp.float32)
+    y = jnp.reshape(im2, (-1, h, w, 1)).astype(jnp.float32)
 
     window = jnp.asarray(_gauss2d((11, 11), 1.5), jnp.float32)[:, :, None, None]
     pad = lambda v: jnp.pad(v, ((0, 0), (5, 5), (5, 5), (0, 0)), mode="symmetric")
@@ -109,7 +126,7 @@ def compute_ssim_batch(im1, im2, l: float = 1.0):
     s12 = conv(x * y) - mu12
     ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
-    return jnp.mean(ssim_map, axis=(1, 2, 3)).reshape(lead)
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
 
 
 def avg_psnr(

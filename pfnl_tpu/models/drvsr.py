@@ -102,5 +102,6 @@ class DRVSR(nn.Module):
             "uv": uv,
             "frames_y": frames_y,
             "ref_y": ref_y,
-            "warped_lr": warped_lr,
+            # loss-facing: widened like "sr" (flow photometric loss input)
+            "warped_lr": warped_lr.astype(jnp.float32),
         }

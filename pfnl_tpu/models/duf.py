@@ -67,7 +67,9 @@ class Conv3D(nn.Module):
     def __call__(self, x):
         assert x.shape[-1] == self.in_features
         w = self.w
-        if self.impl == "pallas" and self.kernel == (3, 3, 3):
+        if self.impl == "pallas" and self.kernel == (3, 3, 3) and self.pad != "none":
+            # conv3x3x3_tap always pads H/W SAME; pad="none" (VALID
+            # everywhere) has no kernel variant — fall through to XLA
             from pfnl_tpu.ops.pallas.duf_dense import conv3x3x3_tap
 
             y = conv3x3x3_tap(x, w, self.pad == "thw")

@@ -99,5 +99,7 @@ class FRVSR(nn.Module):
             srs.append(sr)
         return {
             "sr": jnp.stack(srs, axis=1).astype(jnp.float32),   # [N,T,H,W,3]
-            "warps": jnp.stack(warps, axis=1),    # [N,T-1,h,w,3]
+            # loss-facing output: widened like "sr" so the flow-consistency
+            # loss doesn't silently compute in bf16
+            "warps": jnp.stack(warps, axis=1).astype(jnp.float32),  # [N,T-1,h,w,3]
         }

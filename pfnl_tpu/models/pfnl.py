@@ -61,7 +61,7 @@ class PFNL(nn.Module):
     mf: int = 64
     num_blocks: int = 20
     nonlocal_impl: str = "auto"
-    pfrb_impl: str = "auto"  # "auto" | "pallas" | "xla"
+    pfrb_impl: str = "auto"  # "auto" | "pallas_pack" | "pallas_chain" | "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -39,11 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pfnl_tpu.ops.pallas.common import _prec
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
+from pfnl_tpu.ops.pallas.common import _prec, _round_up
 
 
 class BlockParams(NamedTuple):

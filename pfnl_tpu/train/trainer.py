@@ -274,12 +274,14 @@ class Trainer:
                 return False
             return True
 
+        collapsed = False
         for step in range(start, max_steps):
             stage = 0
             if self.staged and cfg.stage_switch_step is not None and step >= cfg.stage_switch_step:
                 stage = 1
             if step > start and step % log_every == 0:
                 if not check(step):
+                    collapsed = True
                     break
                 print_fn(
                     f"{time.strftime('%Y-%m-%d %H:%M:%S')} Step:{step},"
@@ -299,5 +301,6 @@ class Trainer:
                 batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
             key = jax.random.fold_in(base_key, step)
             state, last_losses = self.step_fn(stage)(state, batch, key)
-        check(max_steps)
+        if not collapsed:
+            check(max_steps)
         return state

@@ -207,6 +207,12 @@ def cmd_import_tf1(args):
         if ref_shapes != new_shapes:
             raise SystemExit(
                 f"imported param tree mismatch:\n{ref_shapes}\nvs\n{new_shapes}")
+        if has_stats:
+            ref_ss = jax.tree.map(lambda a: a.shape, state.batch_stats)
+            new_ss = jax.tree.map(lambda a: a.shape, stats)
+            if ref_ss != new_ss:
+                raise SystemExit(
+                    f"imported batch_stats tree mismatch:\n{ref_ss}\nvs\n{new_ss}")
     tr.save(state.replace(params=imported, batch_stats=stats))
     print(f"imported {args.ckpt} -> {tr.workdir} (step {int(state.step)})")
 
