@@ -137,6 +137,33 @@ def cmd_test(args):
     pred.testvideos(args.data, start=args.start, name=args.name or cfg.model)
 
 
+def cmd_export(args):
+    _apply_precision(args)
+    import jax.numpy as jnp
+
+    from pfnl_tpu.infer.export import export_model
+    from pfnl_tpu.train.trainer import Trainer
+
+    cfg = _cfg_from_args(args)
+    tr = Trainer(cfg)
+    state = _restored_state(tr, cfg)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    h, w = (int(v) for v in args.hw.split("x"))
+    extra = {"is_train": False} if cfg.model == "duf" else {}
+    blob = export_model(
+        tr.model, variables, args.batch, cfg.num_frames, (h, w),
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        extra_kwargs=extra,
+    )
+    out = args.out or f"{cfg.model}_{h}x{w}_b{args.batch}.shlo"
+    with open(out, "wb") as f:
+        f.write(blob)
+    print(f"exported {cfg.model} [{args.batch},{cfg.num_frames},{h},{w},3] "
+          f"-> {out} ({len(blob)/1e6:.1f} MB)")
+
+
 def cmd_bench(args):
     import bench
 
@@ -267,6 +294,16 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True,
                    help="TF1 checkpoint prefix (with .index/.data-* files)")
     p.set_defaults(fn=cmd_import_tf1)
+
+    p = sub.add_parser("export",
+                       help="AOT-export the model to a StableHLO artifact")
+    _common(p)
+    p.add_argument("--hw", default="180x320", help="LR input HxW")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("parity", help="inference + Y-PSNR/SSIM table")
     _common(p)
