@@ -51,27 +51,51 @@ def _clipped_windows(num_frames: int, t: int) -> np.ndarray:
 
 
 class Predictor:
-    def __init__(self, cfg: Config, model, variables, batch_windows: int = 4):
+    def __init__(self, cfg: Config, model, variables, batch_windows: int = 4,
+                 mesh=None):
         """batch_windows: minimum windows per device step for the
         window-batched models (the reference's part=1000 implies batch-1;
-        batching ~doubles chip throughput — conscious perf deviation)."""
+        batching ~doubles chip throughput — conscious perf deviation).
+
+        mesh: optional `jax.sharding.Mesh` — multi-chip serving.  The
+        window batch is sharded over the flat device axis via `shard_map`
+        (parallel/spmd.py::sharded_apply_dp) so each chip runs the full
+        per-chip program, Pallas kernels included.  The recurrent FRVSR
+        path stays single-chip (its state feedback is latency-, not
+        throughput-bound)."""
         self.cfg = cfg
         self.model = model
         self.variables = variables
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            batch_windows = -(-batch_windows // n_dev) * n_dev
+            self._n_dev = n_dev
+        else:
+            self._n_dev = 1
         self.batch_windows = batch_windows
         self._fwd = None
         self._degrade = jax.jit(lambda x: downsample_4d(x, scale=cfg.scale))
+
+    def _jit_batched(self, per_chip, nd_out=5):
+        """jit for single-chip; shard_map-over-batch for a mesh."""
+        if self.mesh is None:
+            return jax.jit(per_chip)
+        from pfnl_tpu.parallel.spmd import sharded_apply_dp
+
+        call = sharded_apply_dp(per_chip, self.variables, self.mesh)
+        return lambda v, x: call(x, nd_out)
 
     # --- jitted forwards ------------------------------------------------
     def _forward(self):
         if self._fwd is None:
             cfg, model = self.cfg, self.model
             if cfg.model == "duf":
-                self._fwd = jax.jit(
+                self._fwd = self._jit_batched(
                     lambda v, x: model.apply(v, x, is_train=False)["sr"]
                 )
             else:
-                self._fwd = jax.jit(lambda v, x: model.apply(v, x)["sr"])
+                self._fwd = self._jit_batched(lambda v, x: model.apply(v, x)["sr"])
         return self._fwd
 
     def _degrade_video(self, imgs: np.ndarray, chunk: int = 16) -> np.ndarray:
@@ -103,6 +127,7 @@ class Predictor:
         part = min(part, max_frame)
         num_once = max_frame // part + (0 if max_frame % part == 0 else 1)
         num_once = min(max(num_once, self.batch_windows), max_frame)
+        num_once = -(-num_once // self._n_dev) * self._n_dev
         windows = _clipped_windows(max_frame, t)  # [F, T]
         fwd = self._forward()
 
@@ -147,14 +172,16 @@ class Predictor:
         part = min(part, max(max_frame, 1))
         num_once = max_frame // part + (0 if max_frame % part == 0 else 1)
         num_once = min(max(num_once, self.batch_windows), max(max_frame, 1))
+        num_once = -(-num_once // self._n_dev) * self._n_dev
 
-        @jax.jit
         def rgb_of(v, clip):
             sr_y = self.model.apply(v, clip)["sr"][:, -1]  # [B,H',W',1]
             center = clip[:, t // 2]
             ycc = rgb2ycbcr(center)
             cbcr = resize_bicubic(ycc, (sr_y.shape[1], sr_y.shape[2]))[..., 1:3]
             return ycbcr2rgb(jnp.concatenate([sr_y, cbcr], axis=-1))
+
+        rgb_of = self._jit_batched(rgb_of, nd_out=4)
 
         print(f"Save at {save_path}")
         print(f"{max_frame} Inputs With Shape {lrs.shape[1:]}")

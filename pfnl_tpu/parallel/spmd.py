@@ -24,7 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -64,7 +64,7 @@ def sharded_forward_dp(model, variables, mesh: Mesh):
 
     smapped = shard_map(
         per_chip, mesh=mesh, in_specs=(P(), x_spec), out_specs=x_spec,
-        check_rep=False,
+        check_vma=False,
     )
 
     @functools.partial(jax.jit, in_shardings=(repl, x_sharding),
@@ -73,3 +73,32 @@ def sharded_forward_dp(model, variables, mesh: Mesh):
         return smapped(variables, x)
 
     return lambda x: fn(variables, x)
+
+
+def sharded_apply_dp(per_chip, variables, mesh: Mesh):
+    """Generalized `sharded_forward_dp`: shard_map an ARBITRARY per-chip
+    function `per_chip(variables, x) -> y` (x and y batch-major) over the
+    flat DP axis with replicated variables.  Used by the Predictor's
+    window-batched inference so multi-chip serving keeps every per-chip
+    Pallas kernel AND the family-specific post-processing (e.g. the
+    VESPCN Y+CbCr recombination) on device."""
+    axes = tuple(mesh.axis_names)
+    repl = NamedSharding(mesh, P())
+
+    jits = {}
+
+    def call(x, nd_out=5):
+        key = (x.ndim, nd_out)
+        if key not in jits:
+            in_spec = P(axes, *([None] * (x.ndim - 1)))
+            out_spec = P(axes, *([None] * (nd_out - 1)))
+            smapped = shard_map(per_chip, mesh=mesh, in_specs=(P(), in_spec),
+                                out_specs=out_spec, check_vma=False)
+            jits[key] = jax.jit(
+                smapped,
+                in_shardings=(repl, NamedSharding(mesh, in_spec)),
+                out_shardings=NamedSharding(mesh, out_spec),
+            )
+        return jits[key](variables, x)
+
+    return call

@@ -133,7 +133,12 @@ def cmd_test(args):
     variables = {"params": state.params}
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
-    pred = Predictor(cfg, tr.model, variables)
+    mesh = None
+    if getattr(args, "dp", 1) > 1:
+        from pfnl_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.dp, n_space=1)
+    pred = Predictor(cfg, tr.model, variables, mesh=mesh)
     pred.testvideos(args.data, start=args.start, name=args.name or cfg.model)
 
 
@@ -271,6 +276,9 @@ def main(argv=None):
     p.add_argument("--data", required=True)
     p.add_argument("--start", type=int, default=0)
     p.add_argument("--name", default=None)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard window batches over N chips (shard_map DP; "
+                        "keeps per-chip Pallas kernels)")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("bench")

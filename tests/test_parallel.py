@@ -158,3 +158,41 @@ def test_fit_with_mesh_smoke(tmp_path, rng):
     pipe.close()
     assert int(state.step) == 3
     assert len(jax.tree.leaves(state.params)[0].sharding.device_set) == 8
+
+
+def test_predictor_mesh_matches_single_chip(rng, tmp_path):
+    """Multi-chip serving: Predictor with an 8-device DP mesh writes the
+    SAME PNGs as the single-chip Predictor (window-batched PFNL path and
+    the VESPCN Y-recombination path)."""
+    from pfnl_tpu.config import preset
+    from pfnl_tpu.infer.predictor import Predictor
+    from pfnl_tpu.models.pfnl import PFNL
+    from pfnl_tpu.models.vespcn import VESPCN
+    from pfnl_tpu.utils.image_io import imread
+    import glob
+    import os
+
+    from tests.util_data import make_dataset
+
+    _, seq_dirs = make_dataset(str(tmp_path), num_seqs=1, num_frames=9,
+                               hw=(32, 32))
+    mesh = make_mesh(n_data=8, n_space=1)
+
+    for name, model, cfgname in [
+        ("pfnl", PFNL(num_frames=3, num_blocks=1), "pfnl"),
+        ("vespcn", VESPCN(num_frames=3), "vespcn"),
+    ]:
+        cfg = preset(cfgname, num_frames=3, reload=False)
+        x = jnp.asarray(rng.random((1, 3, 8, 8, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        single = Predictor(cfg, model, variables)
+        multi = Predictor(cfg, model, variables, mesh=mesh)
+        single.test_video_lr(seq_dirs[0], name=f"{name}_single")
+        multi.test_video_lr(seq_dirs[0], name=f"{name}_multi")
+        fs = sorted(glob.glob(os.path.join(seq_dirs[0], f"{name}_single", "*.png")))
+        fm = sorted(glob.glob(os.path.join(seq_dirs[0], f"{name}_multi", "*.png")))
+        assert len(fs) == len(fm) == 9
+        for a, b in zip(fs, fm):
+            ia, ib = imread(a).astype(np.int32), imread(b).astype(np.int32)
+            # identical math per chip; allow 1 uint8 step for reduction-order
+            assert np.max(np.abs(ia - ib)) <= 1, (name, a)
