@@ -52,9 +52,10 @@ def _time_chained(fn, *args, repeats: int = 3):
 
 
 def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
-                in_size: int = 32, frames: int = 7):
+                in_size: int = 32, frames: int = 7, dtype: str = "float32"):
     """Secondary metric (manual use): training steps/sec on one chip —
-    the full jitted step incl. on-device augmentation + degradation."""
+    the full jitted step incl. on-device augmentation + degradation.
+    dtype='bfloat16' measures the mixed-precision training mode."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -65,7 +66,7 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
     from pfnl_tpu.data.pipeline import device_augment_and_degrade
 
     cfg = preset(model, in_size=in_size, batch_size=batch, num_frames=frames,
-                 reload=False)
+                 reload=False, compute_dtype=dtype)
     tr = Trainer(cfg, workdir="/tmp/bench_train")
     rng = np.random.default_rng(0)
     gt = (rng.random((batch, frames, cfg.gt_size, cfg.gt_size, 3)) * 255).astype(
@@ -97,7 +98,7 @@ def train_bench(model: str = "pfnl", steps: int = 10, batch: int = 16,
     print(
         json.dumps(
             {
-                "metric": f"train steps/sec ({model} b{batch} crop {in_size})",
+                "metric": f"train steps/sec ({model} b{batch} crop {in_size} {dtype})",
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec",
                 "vs_baseline": None,
@@ -284,7 +285,7 @@ if __name__ == "__main__":
 
         with jax.profiler.trace(a.profile):
             if a.train:
-                train_bench(a.model, a.steps, batch=16, frames=a.frames)
+                train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=a.dtype)
             else:
                 main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)
     elif a.all:
@@ -292,6 +293,6 @@ if __name__ == "__main__":
     elif a.train_fit:
         fit_bench(a.model, max(a.steps, 50), batch=16, frames=a.frames)
     elif a.train:
-        train_bench(a.model, a.steps, batch=16, frames=a.frames)
+        train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=a.dtype)
     else:
         main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)

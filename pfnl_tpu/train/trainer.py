@@ -67,6 +67,11 @@ def build_model(cfg: Config):
     if cfg.model in ("pfnl", "vespcn", "mcresnet", "ltdvsr", "frvsr", "drvsr", "duf"):
         kwargs["num_frames"] = cfg.num_frames
         kwargs["scale"] = cfg.scale
+        if cfg.compute_dtype == "bfloat16":
+            # mixed precision: bf16 activations/compute, f32 params and
+            # optimizer state (flax param_dtype default), f32 loss-facing
+            # outputs (models cast "sr" etc. back up)
+            kwargs["dtype"] = jnp.bfloat16
     return cls(**kwargs)
 
 

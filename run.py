@@ -24,6 +24,10 @@ def _common(p):
     p.add_argument("--in-size", type=int, default=None)
     p.add_argument("--eval-in-size", default=None,
                    help="HxW of eval crops at LR, e.g. 128x240")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="activation/compute dtype (params stay float32); "
+                        "bfloat16 = mixed-precision training/inference")
     p.add_argument("--matmul-precision", default=None,
                    choices=["default", "high", "highest"],
                    help="jax default matmul/conv precision; use 'highest' "
@@ -42,7 +46,7 @@ def _cfg_from_args(args, **extra):
     from pfnl_tpu.config import preset
 
     over = dict(extra)
-    for k in ("save_dir", "scale", "batch_size", "in_size"):
+    for k in ("save_dir", "scale", "batch_size", "in_size", "compute_dtype"):
         v = getattr(args, k, None)
         if v is not None:
             over[k] = v

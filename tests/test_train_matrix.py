@@ -59,3 +59,36 @@ def test_one_train_step(rng, name, ctor, t, in_size, tmp_path):
         # joint stage also steps cleanly
         state, losses = tr.step_fn(1)(state, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(losses["loss"]))
+
+
+@pytest.mark.parametrize("name,t,in_size",
+                         [("pfnl", 3, 8), ("vespcn", 3, 8), ("duf", 7, 8)])
+def test_mixed_precision_train_step(rng, name, t, in_size, tmp_path):
+    """compute_dtype=bfloat16: bf16 activations, f32 params/optimizer —
+    one step runs, loss finite, params stay f32 and move."""
+    cfg = preset(name, num_frames=t, in_size=in_size, batch_size=2,
+                 reload=False, compute_dtype="bfloat16")
+    from pfnl_tpu.train.trainer import build_model
+
+    model = build_model(cfg)
+    assert model.dtype == jnp.bfloat16
+    # shrink the net for CPU test speed where the ctor allows it
+    if name == "pfnl":
+        model = type(model)(num_frames=t, num_blocks=1, dtype=jnp.bfloat16)
+    elif name == "duf":
+        model = type(model)(num_frames=t, layers=16, dtype=jnp.bfloat16)
+    tr = Trainer(cfg, workdir=str(tmp_path), model=model)
+    batch = _fake_batch(rng, cfg.producer, t, in_size)
+    lr, _ = device_augment_and_degrade(
+        jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(0), cfg.producer, 4
+    )
+    state = tr.init_state(jax.random.PRNGKey(0), np.asarray(lr))
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    before = jax.tree.leaves(jax.device_get(state.params))
+    state, losses = tr.step_fn(0)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["loss"])), name
+    after = jax.tree.leaves(jax.device_get(state.params))
+    assert any(not np.array_equal(a, b) for a, b in zip(before, after))
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
