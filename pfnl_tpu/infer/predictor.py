@@ -208,30 +208,59 @@ class Predictor:
         return all_time
 
     # --- frvsr streaming path -------------------------------------------
-    def _run_recurrent(self, lrs: np.ndarray, save_path: str):
+    def _run_recurrent(self, lrs: np.ndarray, save_path: str,
+                       chunk_frames: int = 32):
+        """O(1)-state recurrence, dispatched one CHUNK of frames per device
+        call: the per-frame state feedback runs inside a `lax.scan`, so a
+        video costs ceil(F/chunk) host round-trips instead of F (the
+        reference feeds state back through placeholders per frame,
+        model/frvsr.py:279-303 — identical math, relay-RTT-free here).
+        The carried state crosses chunks on device-side arrays."""
         model = self.model
         step0 = jax.jit(lambda v, x: model.apply(v, x, method=model.step))
-        step1 = jax.jit(
-            lambda v, x, xp, est: model.apply(v, x, xp, est, method=model.step)
-        )
+
+        @jax.jit
+        def run_chunk(v, frames, xp, est):
+            # frames [K,1,h,w,3]; carry = (prev LR, prev SR)
+            def body(carry, xt):
+                xp, est = carry
+                sr = model.apply(v, xt, xp, est, method=model.step)
+                return (xt, sr), sr
+
+            (_, _), srs = jax.lax.scan(body, (xp, est), frames)
+            return srs  # [K,1,H,W,3]
+
         print(f"Save at {save_path}")
         print(f"{lrs.shape[0]} Inputs With Shape {lrs.shape[1:]}")
         all_time = []
-        sr = None
-        for i in range(lrs.shape[0]):
-            x = jnp.asarray(lrs[i : i + 1])
+        f = lrs.shape[0]
+        if f == 0:
+            return np.array(all_time)
+        st = time.time()
+        sr = step0(self.variables, jnp.asarray(lrs[0:1]))
+        sr0 = np.asarray(sr)
+        all_time.append(time.time() - st)
+        imsave(os.path.join(save_path, "0000.png"), to_uint8_img(sr0[0]))
+        kc = min(chunk_frames, f - 1) if f > 1 else 0
+        i = 1
+        while i < f:
+            k = min(kc, f - i)
+            part = lrs[i : i + k]
+            if k < kc:  # pad the ragged tail chunk — ONE compile per video
+                part = np.concatenate([part, part[-1:].repeat(kc - k, 0)])
+            frames = jnp.asarray(part)[:, None]  # [KC,1,h,w,3]
             st = time.time()
-            if i == 0:
-                sr = step0(self.variables, x)
-            else:
-                sr = step1(self.variables, x, jnp.asarray(lrs[i - 1 : i]), sr)
-            srn = np.asarray(sr)
+            srs = run_chunk(self.variables, frames, jnp.asarray(lrs[i - 1 : i]), sr)
+            srs_n = np.asarray(srs[:k])
             all_time.append(time.time() - st)
-            imsave(os.path.join(save_path, f"{i:0>4}.png"), to_uint8_img(srn[0]))
+            sr = srs[k - 1]
+            for j in range(k):
+                imsave(os.path.join(save_path, f"{i + j:0>4}.png"),
+                       to_uint8_img(srs_n[j, 0]))
+            i += k
         all_time = np.array(all_time)
-        if lrs.shape[0] > 0:
-            avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
-            print(f"spent {np.sum(all_time)} s in total and {avg} s in average")
+        avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
+        print(f"spent {np.sum(all_time)} s in total and {avg} s in average")
         return all_time
 
     # --- public API ------------------------------------------------------

@@ -41,7 +41,8 @@ def imsave(path: str, img: np.ndarray) -> None:
     if _HAVE_CV2:
         if img.ndim == 3:
             img = img[:, :, [2, 1, 0]]
-        cv2.imwrite(path, img)
+        if not cv2.imwrite(path, img):  # cv2 fails SILENTLY (e.g. no dir)
+            raise IOError(f"imsave failed: {path}")
     else:
         Image.fromarray(img).save(path)
 

@@ -221,3 +221,33 @@ def test_predictor_odd_size(tmp_path):
     outs = sorted(glob.glob(os.path.join(str(d), "out_odd", "*.png")))
     assert len(outs) == 6
     assert imread(outs[0]).shape == (44, 52, 3)  # 11x13 * 4
+
+
+def test_predictor_frvsr_chunked_matches_per_frame(dataset):
+    """The scan-chunked recurrent path (one dispatch per chunk, ragged
+    tail padded) produces the same PNGs regardless of chunk size."""
+    filelist, seq_dirs = dataset
+    cfg = preset("frvsr")
+    model = FRVSR(num_frames=3, mf=8, num_blocks=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 3, 12, 12, 3), np.float32)
+    )
+    pred = Predictor(cfg, model, variables)
+    lrs = np.stack([
+        imread(f).astype(np.float32) / 255.0
+        for f in sorted(glob.glob(os.path.join(seq_dirs[3], "blur4", "*.png")))
+    ])  # 20 frames
+    d = seq_dirs[3]
+    from pfnl_tpu.utils.image_io import automkdir
+    for sub in ("c1", "c7", "c64"):
+        automkdir(os.path.join(d, sub))
+    pred._run_recurrent(lrs, os.path.join(d, "c1"), chunk_frames=1)
+    pred._run_recurrent(lrs, os.path.join(d, "c7"), chunk_frames=7)  # ragged tail
+    pred._run_recurrent(lrs, os.path.join(d, "c64"), chunk_frames=64)  # > F
+    a = [imread(f) for f in sorted(glob.glob(os.path.join(d, "c1", "*.png")))]
+    b = [imread(f) for f in sorted(glob.glob(os.path.join(d, "c7", "*.png")))]
+    c = [imread(f) for f in sorted(glob.glob(os.path.join(d, "c64", "*.png")))]
+    assert len(a) == len(b) == len(c) == 20
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x, y)
+        np.testing.assert_array_equal(x, z)
