@@ -270,7 +270,9 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 16, or per-model table with --all")
-    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dtype", default=None,
+                    help="inference default bfloat16; --train default "
+                         "float32 (the reference's training precision)")
     ap.add_argument("--train", action="store_true",
                     help="measure training steps/sec instead of inference fps")
     ap.add_argument("--train-fit", action="store_true",
@@ -280,19 +282,21 @@ if __name__ == "__main__":
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
     a = ap.parse_args()
+    # modes keep their historical defaults: bf16 inference, f32 training
+    dt = a.dtype or ("float32" if (a.train or a.train_fit) else "bfloat16")
     if a.profile:
         import jax
 
         with jax.profiler.trace(a.profile):
             if a.train:
-                train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=a.dtype)
+                train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=dt)
             else:
-                main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)
+                main(a.model, a.hw, a.frames, a.steps, a.batch or 16, dt)
     elif a.all:
-        bench_all(a.hw, a.steps, a.batch, a.dtype)
+        bench_all(a.hw, a.steps, a.batch, dt)
     elif a.train_fit:
         fit_bench(a.model, max(a.steps, 50), batch=16, frames=a.frames)
     elif a.train:
-        train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=a.dtype)
+        train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=dt)
     else:
-        main(a.model, a.hw, a.frames, a.steps, a.batch or 16, a.dtype)
+        main(a.model, a.hw, a.frames, a.steps, a.batch or 16, dt)

@@ -44,6 +44,29 @@ _RGB_MODELS = ("pfnl", "frvsr")
 _Y_MODELS = ("vespcn", "mcresnet", "ltdvsr", "drvsr")
 
 
+def make_serving_fn(model_name: str, model, num_frames: int):
+    """(per_chip_fn, out_ndim): the COMPLETE per-chip serving program for a
+    window batch [B,T,h,w,3] — for Y-channel families this includes the
+    reference's RGB reconstruction (SR Y + bicubically upscaled CbCr ->
+    ycbcr2rgb, model/vespcn.py:334-346), so exported artifacts and the
+    multi-chip shard_map path deliver final RGB frames, not a Y channel
+    needing model-repo post-processing."""
+    if model_name in _Y_MODELS:
+        t = num_frames
+
+        def fn(v, clip):
+            sr_y = model.apply(v, clip)["sr"][:, -1]  # [B,H',W',1]
+            center = clip[:, t // 2]
+            ycc = rgb2ycbcr(center)
+            cbcr = resize_bicubic(ycc, (sr_y.shape[1], sr_y.shape[2]))[..., 1:3]
+            return ycbcr2rgb(jnp.concatenate([sr_y, cbcr], axis=-1))
+
+        return fn, 4
+    if model_name == "duf":
+        return (lambda v, x: model.apply(v, x, is_train=False)["sr"]), 5
+    return (lambda v, x: model.apply(v, x)["sr"]), 5
+
+
 def _clipped_windows(num_frames: int, t: int) -> np.ndarray:
     """[F, T] edge-clamped sliding-window indices (pfnl.py:238-241)."""
     idx = np.arange(num_frames)[:, None] + np.arange(t)[None, :] - t // 2
@@ -78,13 +101,14 @@ class Predictor:
         self._degrade = jax.jit(lambda x: downsample_4d(x, scale=cfg.scale))
 
     def _jit_batched(self, per_chip, nd_out=5):
-        """jit for single-chip; shard_map-over-batch for a mesh."""
+        """jit for single-chip; shard_map-over-batch for a mesh.  Either
+        way the returned callable takes (variables, x) per call."""
         if self.mesh is None:
             return jax.jit(per_chip)
         from pfnl_tpu.parallel.spmd import sharded_apply_dp
 
-        call = sharded_apply_dp(per_chip, self.variables, self.mesh)
-        return lambda v, x: call(x, nd_out)
+        call = sharded_apply_dp(per_chip, self.mesh)
+        return lambda v, x: call(v, x, nd_out)
 
     # --- jitted forwards ------------------------------------------------
     def _forward(self):
@@ -174,14 +198,8 @@ class Predictor:
         num_once = min(max(num_once, self.batch_windows), max(max_frame, 1))
         num_once = -(-num_once // self._n_dev) * self._n_dev
 
-        def rgb_of(v, clip):
-            sr_y = self.model.apply(v, clip)["sr"][:, -1]  # [B,H',W',1]
-            center = clip[:, t // 2]
-            ycc = rgb2ycbcr(center)
-            cbcr = resize_bicubic(ycc, (sr_y.shape[1], sr_y.shape[2]))[..., 1:3]
-            return ycbcr2rgb(jnp.concatenate([sr_y, cbcr], axis=-1))
-
-        rgb_of = self._jit_batched(rgb_of, nd_out=4)
+        rgb_of, nd_out = make_serving_fn(cfg.model, self.model, t)
+        rgb_of = self._jit_batched(rgb_of, nd_out=nd_out)
 
         print(f"Save at {save_path}")
         print(f"{max_frame} Inputs With Shape {lrs.shape[1:]}")
@@ -216,6 +234,8 @@ class Predictor:
         reference feeds state back through placeholders per frame,
         model/frvsr.py:279-303 — identical math, relay-RTT-free here).
         The carried state crosses chunks on device-side arrays."""
+        if chunk_frames < 1:
+            raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
         model = self.model
         step0 = jax.jit(lambda v, x: model.apply(v, x, method=model.step))
 
@@ -259,7 +279,9 @@ class Predictor:
                        to_uint8_img(srs_n[j, 0]))
             i += k
         all_time = np.array(all_time)
-        avg = np.mean(all_time[1:]) if len(all_time) > 1 else float(all_time[0])
+        # 'average' stays PER FRAME (the reference's per-frame print,
+        # model/frvsr.py:301), excluding the warm-up first dispatch
+        avg = (np.sum(all_time[1:]) / (f - 1)) if f > 1 else float(all_time[0])
         print(f"spent {np.sum(all_time)} s in total and {avg} s in average")
         return all_time
 

@@ -54,40 +54,25 @@ def sharded_forward_dp(model, variables, mesh: Mesh):
     local [N/d, T, H, W, C] shard and runs the unmodified single-chip
     forward, Pallas kernels included.  The batch must divide the device
     count."""
-    axes = tuple(mesh.axis_names)
-    x_spec = P(axes, None, None, None, None)
-    x_sharding = NamedSharding(mesh, x_spec)
-    repl = NamedSharding(mesh, P())
-
-    def per_chip(variables, x):
-        return model.apply(variables, x)["sr"]
-
-    smapped = shard_map(
-        per_chip, mesh=mesh, in_specs=(P(), x_spec), out_specs=x_spec,
-        check_vma=False,
-    )
-
-    @functools.partial(jax.jit, in_shardings=(repl, x_sharding),
-                       out_shardings=x_sharding)
-    def fn(variables, x):
-        return smapped(variables, x)
-
-    return lambda x: fn(variables, x)
+    call = sharded_apply_dp(lambda v, x: model.apply(v, x)["sr"], mesh)
+    return lambda x: call(variables, x, 5)
 
 
-def sharded_apply_dp(per_chip, variables, mesh: Mesh):
+def sharded_apply_dp(per_chip, mesh: Mesh):
     """Generalized `sharded_forward_dp`: shard_map an ARBITRARY per-chip
     function `per_chip(variables, x) -> y` (x and y batch-major) over the
     flat DP axis with replicated variables.  Used by the Predictor's
     window-batched inference so multi-chip serving keeps every per-chip
     Pallas kernel AND the family-specific post-processing (e.g. the
-    VESPCN Y+CbCr recombination) on device."""
+    VESPCN Y+CbCr recombination) on device.  Returns
+    call(variables, x, nd_out) — variables are a per-call argument, so a
+    caller swapping checkpoints never serves stale weights."""
     axes = tuple(mesh.axis_names)
     repl = NamedSharding(mesh, P())
 
     jits = {}
 
-    def call(x, nd_out=5):
+    def call(variables, x, nd_out=5):
         key = (x.ndim, nd_out)
         if key not in jits:
             in_spec = P(axes, *([None] * (x.ndim - 1)))

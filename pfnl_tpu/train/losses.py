@@ -18,11 +18,16 @@ from pfnl_tpu.ops.warp import backward_warp
 def _flow_loss(out, lr_shape):
     """Photometric L1 of each frame vs the backward-warped reference frame
     + 0.01*TV of the flow (model/vespcn.py:121-127)."""
-    uv = out["uv"]  # [B,T,h,w,2]
+    # widen to f32 here: under mixed precision the models emit bf16
+    # uv/frames_y/ref_y, and the photometric/TV reductions must not
+    # accumulate at ~3 significant digits
+    uv = out["uv"].astype(jnp.float32)  # [B,T,h,w,2]
+    frames_y = out["frames_y"].astype(jnp.float32)
     b, t, h, w, _ = uv.shape
-    ref_rep = jnp.broadcast_to(out["ref_y"][:, None], out["frames_y"].shape)
+    ref_rep = jnp.broadcast_to(
+        out["ref_y"].astype(jnp.float32)[:, None], frames_y.shape)
     warped = backward_warp(ref_rep, uv)
-    loss_data = jnp.mean(jnp.abs(out["frames_y"] - warped))
+    loss_data = jnp.mean(jnp.abs(frames_y - warped))
     uv4 = uv.reshape(b * t, h, w, 2)
     loss_tv = total_variation(uv4) / float(np.prod(uv4.shape))
     return loss_data + 0.01 * loss_tv, loss_data, loss_tv

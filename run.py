@@ -160,11 +160,10 @@ def cmd_export(args):
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
     h, w = (int(v) for v in args.hw.split("x"))
-    extra = {"is_train": False} if cfg.model == "duf" else {}
     blob = export_model(
         tr.model, variables, args.batch, cfg.num_frames, (h, w),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        extra_kwargs=extra,
+        model_name=cfg.model,
     )
     out = args.out or f"{cfg.model}_{h}x{w}_b{args.batch}.shlo"
     with open(out, "wb") as f:

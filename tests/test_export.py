@@ -76,3 +76,28 @@ def test_export_cli(rng, tmp_path, monkeypatch):
     sr = fn(x)
     assert sr.shape == (1, 1, 32, 32, 3)
     assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_export_y_family_emits_rgb(rng):
+    """Y-channel family artifacts are self-contained: the export bakes in
+    the RGB reconstruction (SR Y + bicubic CbCr), matching the
+    Predictor's serving function exactly."""
+    from pfnl_tpu.models.vespcn import VESPCN
+    from pfnl_tpu.infer.predictor import make_serving_fn
+
+    m = VESPCN(num_frames=3)
+    x = jnp.asarray(rng.random((2, 3, 12, 12, 3), np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    blob = export_model(m, variables, batch=2, frames=3, hw=(12, 12),
+                        model_name="vespcn")
+    fn = load_exported(blob)
+    out = fn(x)
+    assert out.shape == (2, 48, 48, 3)  # final RGB, not a Y channel
+    per_chip, _ = make_serving_fn("vespcn", m, 3)
+    ref = per_chip(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_read_meta_rejects_garbage():
+    with pytest.raises(ValueError):
+        read_meta(b"GARBAGE!" + b"\x00" * 32)
