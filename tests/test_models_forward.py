@@ -110,6 +110,20 @@ def test_duf_forward(layers):
     assert np.all(np.asarray(leaf) == 0)
 
 
+def test_pfnl_head_blockdiag_matches_per_frame():
+    """conv0-as-block-diagonal-conv head == per-frame shared conv0 on the
+    same params (the variant keeps the MXU at 448 lanes; see
+    scripts/pfnl_head_bench.py stage H)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1, 3, 16, 18, 3)), jnp.float32)
+    m_pf = PFNL(num_frames=3, num_blocks=2, head_impl="per_frame")
+    m_bd = PFNL(num_frames=3, num_blocks=2, head_impl="blockdiag")
+    variables = m_pf.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(m_pf.apply(variables, x)["sr"])
+    b = np.asarray(m_bd.apply(variables, x)["sr"])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_pfnl_pallas_chain_path_matches_xla():
     """Model-level equivalence of the two PFRB execution paths (interpret)."""
     rng = np.random.default_rng(5)
