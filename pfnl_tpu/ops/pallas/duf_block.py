@@ -186,10 +186,10 @@ def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
             out_hi=out_hi, dtype=dtype,
         ),
         grid=(nb, (hp - 2) // rows),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
             vec(a) for a in (sa, oa, wa, sbv, obv, wbp, bbv)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(xbuf.shape, dtype),
         input_output_aliases={0: 0},
         scratch_shapes=[

@@ -111,7 +111,7 @@ def _conv3x3x3_tap_fwd_impl(x, wk, pad_t: bool):
                           t_in=t_in),
         grid=(n, hp // rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(pk.shape, lambda b, i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, t_out, rows, wpad, 3 * g),
