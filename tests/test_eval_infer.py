@@ -101,6 +101,23 @@ def test_predictor_frvsr_streaming(dataset):
     assert imread(outs[0]).shape == (48, 48, 3)
 
 
+def test_predictor_drvsr_one_frame_per_window(dataset):
+    """DRVSR's multi-output windows deliver ONE frame each (sr[:, -1]) —
+    the honest-throughput semantics (ADVICE r2) must hold in the file
+    count too: one PNG per input frame."""
+    from pfnl_tpu.models.drvsr import DRVSR
+
+    filelist, seq_dirs = dataset
+    cfg = preset("drvsr")
+    model = DRVSR(num_frames=3)
+    variables = _variables(model, (1, 3, 12, 12, 3))
+    pred = Predictor(cfg, model, variables)
+    pred.test_video_lr(seq_dirs[3], name="out_drvsr")
+    outs = sorted(glob.glob(os.path.join(seq_dirs[3], "out_drvsr", "*.png")))
+    assert len(outs) == 20
+    assert imread(outs[0]).shape == (48, 48, 3)
+
+
 def test_testvideos_iterates(dataset, tmp_path):
     filelist, seq_dirs = dataset
     root = os.path.dirname(seq_dirs[0])
