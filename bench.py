@@ -168,7 +168,8 @@ _MODEL_BATCH = {"pfnl": 16, "vespcn": 16, "ltdvsr": 16, "mcresnet": 16,
 
 
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
-         steps: int = 10, batch: int = 16, dtype: str = "bfloat16"):
+         steps: int = 10, batch: int = 16, dtype: str = "bfloat16",
+         head_impl: str = None):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -180,6 +181,8 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
               "dtype": jnp.bfloat16 if dtype == "bfloat16" else jnp.float32}
     if model == "pfnl":
         kwargs["nonlocal_impl"] = "auto"
+        if head_impl:
+            kwargs["head_impl"] = head_impl
     m = MODEL_REGISTRY[model](**kwargs)
 
     x = jnp.asarray(
@@ -279,6 +282,8 @@ if __name__ == "__main__":
                     help="measure training steps/sec through Trainer.fit itself")
     ap.add_argument("--all", action="store_true",
                     help="emit one JSON line per model family")
+    ap.add_argument("--head-impl", default=None,
+                    help="pfnl conv0 head: per_frame | blockdiag (A/B)")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
     a = ap.parse_args()
@@ -291,7 +296,8 @@ if __name__ == "__main__":
             if a.train:
                 train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=dt)
             else:
-                main(a.model, a.hw, a.frames, a.steps, a.batch or 16, dt)
+                main(a.model, a.hw, a.frames, a.steps, a.batch or 16, dt,
+                     a.head_impl)
     elif a.all:
         bench_all(a.hw, a.steps, a.batch, dt)
     elif a.train_fit:
@@ -299,4 +305,4 @@ if __name__ == "__main__":
     elif a.train:
         train_bench(a.model, a.steps, batch=16, frames=a.frames, dtype=dt)
     else:
-        main(a.model, a.hw, a.frames, a.steps, a.batch or 16, dt)
+        main(a.model, a.hw, a.frames, a.steps, a.batch or 16, dt, a.head_impl)
