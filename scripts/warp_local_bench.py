@@ -138,16 +138,17 @@ def main():
         ("LR b16x5f r2", 80, 180, 320, 1, 2),
     ]
     impls = [
-        ("current ", forward_warp_local),
+        ("xla DUS ", lambda im, uv, r: forward_warp_local(im, uv, r, impl="xla")),
         ("padsum  ", forward_warp_local_padsum),
         ("factored", forward_warp_local_factored),
+        ("pallas  ", lambda im, uv, r: forward_warp_local(im, uv, r, impl="pallas")),
     ]
     for name, b, h, w, c, r in geoms:
         im = jnp.asarray(rng.random((b, h, w, c), np.float32), jnp.bfloat16)
         uv = jnp.asarray(
             np.tanh(rng.standard_normal((b, h, w, 2))).astype(np.float32) * r,
             jnp.bfloat16)
-        ref = np.asarray(forward_warp_local(im, uv, r), np.float32)
+        ref = np.asarray(forward_warp_local(im, uv, r, impl="xla"), np.float32)
         print(f"== {name} [{b},{h},{w},{c}] r={r}")
         for iname, fn in impls:
             got = np.asarray(fn(im, uv, r), np.float32)
