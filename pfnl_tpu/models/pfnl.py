@@ -37,8 +37,9 @@ import flax.linen as nn
 
 from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
 from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
-from pfnl_tpu.ops.pallas.pfnl_tail import blocks_and_tail_pack
-from pfnl_tpu.ops.pallas.pfrb_pack import pfrb_chain_pack
+from pfnl_tpu.ops.pallas.pfnl_tail import (blocks_and_tail_pack,
+                                           blocks_and_tail_prepacked)
+from pfnl_tpu.ops.pallas.pfrb_pack import conv0_packed, pfrb_chain_pack
 from pfnl_tpu.ops.shuffle import space_to_depth, depth_to_space
 from pfnl_tpu.ops.resize import resize_bicubic
 
@@ -76,7 +77,7 @@ class PFNL(nn.Module):
     num_blocks: int = 20
     nonlocal_impl: str = "auto"
     pfrb_impl: str = "auto"  # "auto" | "pallas_pack" | "pallas_chain" | "xla"
-    head_impl: str = "auto"  # "auto" | "per_frame" | "blockdiag"
+    head_impl: str = "auto"  # "auto" | "per_frame" | "blockdiag" | "packed"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -104,10 +105,30 @@ class PFNL(nn.Module):
         # shared 5x5 conv0 across frames (params at the same tree position
         # as an nn.Conv submodule; execution strategy is selectable)
         k0, b0 = _ConvParams((5, 5, c, mf), xavier_uniform(), name="conv0")()
+
+        impl = self.pfrb_impl
+        if impl == "auto":
+            # pair-packed two-kernel path on TPU for large frames; XLA for
+            # small (training-crop) spatial sizes where per-program
+            # overheads dominate, and everywhere off-TPU
+            big = h * w >= 96 * 96
+            impl = "pallas_pack" if (jax.default_backend() == "tpu" and big) else "xla"
+
         head = self.head_impl
         if head == "auto":
-            head = "per_frame"
-        if head == "blockdiag":
+            # when the fused packed chain consumes conv0's output, emit it
+            # born-packed: neither the unpacked [N*T,H,W,64] activation nor
+            # the pad_to_pack relayout pass ever exists
+            head = "packed" if (impl == "pallas_pack" and w % 2 == 0) else "per_frame"
+        if head == "packed" and (impl != "pallas_pack" or w % 2 != 0):
+            raise ValueError(
+                f"head_impl='packed' needs pfrb_impl='pallas_pack' and even "
+                f"width (got impl={impl}, w={w})")
+        feat = packed0 = None
+        if head == "packed":
+            frames = inp0.reshape(n, h, w, t, c).transpose(0, 3, 1, 2, 4)
+            packed0 = conv0_packed(frames, k0.astype(self.dtype), b0)
+        elif head == "blockdiag":
             # one conv on the [N,h,w,t*c] frame-concat tensor with a
             # block-diagonal [5,5,t*c,t*mf] kernel: 7x the FLOPs of the
             # per-frame conv but a 448-lane MXU dot (the 64-lane per-frame
@@ -138,13 +159,6 @@ class PFNL(nn.Module):
         fuse_fans = (t * mf, mf)                      # 1x1 over [.., t*mf]
         conv2_fans = (9 * 2 * mf, 9 * mf)             # 3x3 over [.., 2*mf]
 
-        impl = self.pfrb_impl
-        if impl == "auto":
-            # pair-packed two-kernel path on TPU for large frames; XLA for
-            # small (training-crop) spatial sizes where per-program
-            # overheads dominate, and everywhere off-TPU
-            big = h * w >= 96 * 96
-            impl = "pallas_pack" if (jax.default_backend() == "tpu" and big) else "xla"
         chain_fn = {
             "xla": pfrb_chain_xla,
             "pallas_chain": pfrb_chain_pack,   # packed chain + XLA tail
@@ -173,11 +187,17 @@ class PFNL(nn.Module):
         km2 = self.param("convmerge2_kernel", xavier_uniform(), (3, 3, 12, 12))
         bm2 = self.param("convmerge2_bias", nn.initializers.zeros, (12,))
 
-        feat_in = feat.reshape(n, t, h, w, mf)
-        if impl == "pallas_pack":
+        if head == "packed":
+            # born-packed path: conv0 -> blocks -> merge tail, all on the
+            # packed layout; no relayout pass anywhere in between
+            out = blocks_and_tail_prepacked(
+                packed0, params_list, wm1, bm1, km2, bm2, t, h, w)
+        elif impl == "pallas_pack":
+            feat_in = feat.reshape(n, t, h, w, mf)
             # fused path: blocks + merge tail never leave the packed layout
             out = blocks_and_tail_pack(feat_in, params_list, wm1, bm1, km2, bm2)
         else:
+            feat_in = feat.reshape(n, t, h, w, mf)
             feat5 = chain_fn(feat_in, params_list)
             merge = feat5.transpose(0, 2, 3, 1, 4).reshape(n, h, w, t * mf)
             cv = lambda x, k, b: jax.lax.conv_general_dilated(

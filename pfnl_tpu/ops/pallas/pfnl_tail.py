@@ -282,3 +282,53 @@ def _bt_bwd(res, g):
 
 
 blocks_and_tail_pack.defvjp(_bt_fwd, _bt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def blocks_and_tail_prepacked(packed, params_list, wm1, bm1, km2, bm2,
+                              t, h, w):
+    """blocks_and_tail_pack for an input BORN in the packed layout
+    (conv0_packed): the chain consumes it directly — no pad/reshape pass
+    exists anywhere between conv0 and the merge tail.
+    packed: [N,T,Hp,C2/2,128] -> [N,4H,4W,3] (pre-bicubic)."""
+    from pfnl_tpu.ops.pallas.pfrb_pack import _chain_pack_run, pick_rows
+
+    out, (feats_p, _, _) = _chain_pack_run(
+        packed, params_list, collect=False, keep_final_packed=True,
+        prepacked_thw=(t, h, w))
+    folded = pfnl_tail_pack(feats_p[-1], wm1, bm1, km2, bm2, t=t, h=h, w=w,
+                            rows=pick_rows(h))
+    return compose_d2s4(folded)
+
+
+def _btp_fwd(packed, params_list, wm1, bm1, km2, bm2, t, h, w):
+    from pfnl_tpu.ops.pallas.pfrb_pack import _chain_pack_run, pick_rows
+
+    _, (feats_p, i1s_p, bases_p) = _chain_pack_run(
+        packed, params_list, collect=True, prepacked_thw=(t, h, w))
+    folded = pfnl_tail_pack(feats_p[-1], wm1, bm1, km2, bm2, t=t, h=h, w=w,
+                            rows=pick_rows(h))
+    out = compose_d2s4(folded)
+    return out, (feats_p, i1s_p, bases_p, params_list, wm1, bm1, km2, bm2)
+
+
+def _btp_bwd(t, h, w, res, g):
+    from pfnl_tpu.ops.pallas.pfrb_pack import (
+        _chain_bwd_dispatch, pad_to_pack_layout, pick_rows,
+        unpad_from_pack_layout)
+
+    feats_p, i1s_p, bases_p, params_list, wm1, bm1, km2, bm2 = res
+    feat5 = unpad_from_pack_layout(feats_p[-1][:, :t], h, w)
+    _, tail_vjp = jax.vjp(_xla_tail_only, feat5, wm1, bm1, km2, bm2)
+    d_feat5, d_wm1, d_bm1, d_km2, d_bm2 = tail_vjp(g)
+    d_feat, d_params = _chain_bwd_dispatch(
+        (feats_p, i1s_p, bases_p, params_list), d_feat5)
+    # cotangent w.r.t. the packed input: the pack transform is linear and
+    # the chain reads padding regions only through zero masks, so their
+    # gradient is exactly zero — pad_to_pack_layout IS the transpose.
+    d_packed = pad_to_pack_layout(d_feat.astype(feats_p[0].dtype),
+                                  rows=pick_rows(h))
+    return d_packed, d_params, d_wm1, d_bm1, d_km2, d_bm2
+
+
+blocks_and_tail_prepacked.defvjp(_btp_fwd, _btp_bwd)

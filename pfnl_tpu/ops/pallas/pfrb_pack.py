@@ -194,6 +194,61 @@ def _kernel_b(i1p_ref, i1c_ref, i1n_ref, basep_ref, basec_ref, basen_ref,
         out_ref[0, j] = val.reshape(rows, c2p, cl)
 
 
+def conv0_pack_weights(k0):
+    """[5,5,C,F] per-frame conv kernel -> [5,3,2C,2F] column-PAIR-grid
+    conv kernel: output pair lane (pout*F+co) at pair q collects input
+    pair q+pdx-1's lane (pin*C+ci) with the 5x5 tap at horizontal offset
+    dx = 2*(pdx-1) + pin - pout (taps outside [-2,2] are structural
+    zeros).  Lets a stock XLA conv emit the packed layout directly."""
+    kh, kw, c, f = k0.shape
+    assert (kh, kw) == (5, 5), (kh, kw)
+    kp = jnp.zeros((5, 3, 2 * c, 2 * f), k0.dtype)
+    for pdx in range(3):
+        for pin in range(2):
+            for pout in range(2):
+                dx = 2 * (pdx - 1) + pin - pout
+                if -2 <= dx <= 2:
+                    kp = kp.at[:, pdx, pin * c:(pin + 1) * c,
+                               pout * f:(pout + 1) * f].set(k0[:, dx + 2])
+    return kp
+
+
+def conv0_packed(frames5, k0, b0):
+    """lrelu(conv5x5(frame, k0) + b0) for every frame, written DIRECTLY in
+    the pair-packed chain layout [N,T,Hp,C2/2,128] of pad_to_pack_layout.
+
+    frames5: [N,T,H,W,C] (C=3 post-non-local frames).  The conv's own
+    (5,3) pair-grid kernel performs the relayout, so neither the unpacked
+    [N*T,H,W,F] activation nor the separate pad/reshape pass is ever
+    materialized (at PFNL bench geometry those were ~2.5 GB of HBM
+    traffic per step).  Math identical to the reference's shared conv0
+    (model/pfnl.py:61-62)."""
+    n, t, h, w, c = frames5.shape
+    f = k0.shape[-1]
+    assert w % 2 == 0, w
+    rows = pick_rows(h)
+    hp = _round_up(h, rows)
+    c2p = _round_up(w + 4, 32) // 2
+    # pair the columns, then pad so a VALID (5,3) conv lands the image at
+    # rows [0,h), pairs [1, 1+w/2) — the packed-layout convention
+    yp = frames5.reshape(n, t, h, w // 2, 2 * c)
+    yp = jnp.pad(yp, ((0, 0), (0, 0), (2, hp - h + 2),
+                      (2, c2p - w // 2), (0, 0)))
+    ypf = yp.reshape(n * t, hp + 4, c2p + 2, 2 * c)
+    kp = conv0_pack_weights(k0).astype(ypf.dtype)
+    o = jax.lax.conv_general_dilated(
+        ypf, kp, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_prec(ypf.dtype))
+    o = _lrelu(o + jnp.tile(b0, 2).astype(o.dtype))
+    # restore the packed-layout zero invariant outside the image support
+    # (cheap: fuses into the conv epilogue)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hp, 1, 1), 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c2p, 1), 2)
+    o = jnp.where((row < h) & (q >= 1) & (q < 1 + w // 2), o, 0.0)
+    return o.reshape(n, t, hp, c2p, 2 * f).astype(frames5.dtype)
+
+
 def pad_to_pack_layout(feat, rows=16):
     """[B,T,H,W,C] (C=64) -> [B,T,Hp,C2/2,128]; image at rows [0,H),
     cols [2,W+2)."""
@@ -304,18 +359,27 @@ def pick_tb(t: int) -> int:
     return 8 if _round_up(t, 8) == _round_up(t, 4) else 4
 
 
-def _chain_pack_run(feat, params_list, collect=False, keep_final_packed=False):
+def _chain_pack_run(feat, params_list, collect=False, keep_final_packed=False,
+                    prepacked_thw=None):
     """Run the packed chain; optionally collect (feat_in, i1, base) per
     block (raw packed buffers, for the manual backward).  With
     keep_final_packed (and collect=False) only the FINAL packed buffer is
     returned in the feats slot — for consumers like the fused tail kernel
     that want the packed layout without the training-time activation
-    stash."""
-    n, t, h, w, c = feat.shape
-    rows = pick_rows(h)
+    stash.  With prepacked_thw=(t, h, w), `feat` is ALREADY in the packed
+    [B,T,Hp,C2/2,128] layout (e.g. born packed out of conv0_packed) and
+    the pad/reshape pass is skipped entirely."""
+    if prepacked_thw is None:
+        n, t, h, w, c = feat.shape
+        rows = pick_rows(h)
+        packed = pad_to_pack_layout(feat, rows=rows)
+    else:
+        t, h, w = prepacked_thw
+        rows = pick_rows(h)
+        packed = feat
+        assert packed.shape[2] == _round_up(h, rows), (packed.shape, h, rows)
     tb = pick_tb(t)
     tp = _round_up(t, tb)
-    packed = pad_to_pack_layout(feat, rows=rows)
     if tp != t:
         packed = jnp.pad(packed, ((0, 0), (0, tp - t), (0, 0), (0, 0), (0, 0)))
     feats, i1s, bases = [], [], []

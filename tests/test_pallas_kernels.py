@@ -158,6 +158,100 @@ def test_pfrb_pallas_backward_matches_autodiff(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_conv0_packed_matches_per_frame(rng):
+    """conv0_packed (conv5x5 emitted born-packed via a pair-grid kernel)
+    == per-frame XLA conv0 + pad_to_pack_layout, at several geometries."""
+    from pfnl_tpu.ops.pallas.common import _lrelu
+    from pfnl_tpu.ops.pallas.pfrb_pack import (
+        conv0_packed, pad_to_pack_layout, pick_rows)
+
+    for (t, h, w) in [(7, 9, 14), (3, 16, 32), (7, 11, 40)]:
+        c, f = 3, 64
+        frames = jnp.asarray(
+            rng.standard_normal((2, t, h, w, c)).astype(np.float32)) * 0.3
+        k0 = jnp.asarray(
+            rng.standard_normal((5, 5, c, f)).astype(np.float32)) * 0.2
+        b0 = jnp.asarray(rng.standard_normal((f,)).astype(np.float32)) * 0.1
+        o = jax.lax.conv_general_dilated(
+            frames.reshape(2 * t, h, w, c), k0, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ref_feat = _lrelu(o + b0).reshape(2, t, h, w, f)
+        ref = np.asarray(pad_to_pack_layout(ref_feat, rows=pick_rows(h)))
+        got = np.asarray(conv0_packed(frames, k0, b0))
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_blocks_and_tail_prepacked_matches_xla(rng):
+    """Born-packed head composition (conv0_packed ->
+    blocks_and_tail_prepacked) == XLA conv0 + _xla_blocks_tail, forward
+    and gradients w.r.t. the frames AND conv0 weights (interpret mode)."""
+    from pfnl_tpu.ops.pallas.common import _lrelu
+    from pfnl_tpu.ops.pallas.pfnl_tail import (
+        _xla_blocks_tail, blocks_and_tail_prepacked)
+    from pfnl_tpu.ops.pallas.pfrb_pack import conv0_packed
+
+    c, t, h, w = 64, 7, 10, 14
+    params = [
+        tuple(
+            jnp.asarray(rng.standard_normal(s).astype(np.float32)) * 0.05
+            for s in [(3, 3, c, c), (c,), (t, c, c), (c,), (3, 3, c, c),
+                      (3, 3, c, c), (c,)]
+        )
+        for _ in range(2)
+    ]
+    frames = jnp.asarray(
+        rng.standard_normal((1, t, h, w, 3)).astype(np.float32)) * 0.3
+    k0 = jnp.asarray(rng.standard_normal((5, 5, 3, c)).astype(np.float32)) * 0.2
+    b0 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32)) * 0.1
+    wm1 = jnp.asarray(rng.standard_normal((3, 3, t * c, 48)).astype(np.float32)) * 0.05
+    bm1 = jnp.asarray(rng.standard_normal(48).astype(np.float32)) * 0.1
+    km2 = jnp.asarray(rng.standard_normal((3, 3, 12, 12)).astype(np.float32)) * 0.05
+    bm2 = jnp.asarray(rng.standard_normal(12).astype(np.float32)) * 0.1
+
+    def f_ref(frames, k0):
+        o = jax.lax.conv_general_dilated(
+            frames.reshape(t, h, w, 3), k0, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        feat = _lrelu(o + b0).reshape(1, t, h, w, c)
+        return _xla_blocks_tail(feat, params, wm1, bm1, km2, bm2)
+
+    def f_packed(frames, k0):
+        packed = conv0_packed(frames, k0, b0)
+        return blocks_and_tail_prepacked(
+            packed, params, wm1, bm1, km2, bm2, t, h, w)
+
+    ref = np.asarray(f_ref(frames, k0))
+    got = np.asarray(f_packed(frames, k0))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    gr = jax.grad(lambda fr, k: jnp.sum(f_ref(fr, k) ** 2), argnums=(0, 1))(
+        frames, k0)
+    gp = jax.grad(lambda fr, k: jnp.sum(f_packed(fr, k) ** 2), argnums=(0, 1))(
+        frames, k0)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]), atol=1e-4)
+
+
+def test_pfnl_packed_head_matches_per_frame(rng):
+    """Full PFNL forward: head_impl='packed' + pfrb_impl='pallas_chain'-
+    class packed path == the per-frame/XLA path, same param tree."""
+    from pfnl_tpu.models.pfnl import PFNL
+
+    x = jnp.asarray(rng.random((1, 7, 10, 14, 3)).astype(np.float32))
+    m_ref = PFNL(num_blocks=2, nonlocal_impl="dense", pfrb_impl="xla",
+                 head_impl="per_frame")
+    m_pk = PFNL(num_blocks=2, nonlocal_impl="dense", pfrb_impl="pallas_pack",
+                head_impl="packed")
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(lambda a: a.shape, variables) == jax.tree.map(
+        lambda a: a.shape, m_pk.init(jax.random.PRNGKey(0), x))
+    ref = np.asarray(m_ref.apply(variables, x)["sr"])
+    got = np.asarray(m_pk.apply(variables, x)["sr"])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-5)
+
+
 def test_duf_conv3x3x3_tap_matches_xla(rng):
     """Tap-packed DUF dense-block conv vs the native lowering, both pad
     modes + gradient (interpret mode)."""
