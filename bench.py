@@ -189,6 +189,10 @@ def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,
         np.random.default_rng(0).random((batch, frames, h, w, 3), np.float32)
     )
     init_kw = {"is_train": False} if model == "duf" else {}
+    if model == "drvsr":
+        # production serving keeps sr[:, -1] only (predictor.py) — skip
+        # the other T-1 decoder passes like the serving path does
+        init_kw = {"last_only": True}
     variables = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, **init_kw))()
 
     if model == "frvsr":

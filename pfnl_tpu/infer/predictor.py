@@ -53,9 +53,12 @@ def make_serving_fn(model_name: str, model, num_frames: int):
     needing model-repo post-processing."""
     if model_name in _Y_MODELS:
         t = num_frames
+        # DRVSR: only the last frame's decode is delivered (reference
+        # model/drvsr.py:505) — skip the other T-1 decoder passes
+        kw = {"last_only": True} if model_name == "drvsr" else {}
 
         def fn(v, clip):
-            sr_y = model.apply(v, clip)["sr"][:, -1]  # [B,H',W',1]
+            sr_y = model.apply(v, clip, **kw)["sr"][:, -1]  # [B,H',W',1]
             center = clip[:, t // 2]
             ycc = rgb2ycbcr(center)
             cbcr = resize_bicubic(ycc, (sr_y.shape[1], sr_y.shape[2]))[..., 1:3]

@@ -26,12 +26,18 @@ _xavier = nn.initializers.glorot_uniform
 
 
 class _SRStep(nn.Module):
-    """One encoder/ConvLSTM/decoder step over a single HR-warped frame."""
+    """One encoder/ConvLSTM/decoder step over a single HR-warped frame.
+
+    With decode=False only the encoder + ConvLSTM state update runs — the
+    reference's testvideo saves ONLY the final frame's decode
+    (model/drvsr.py:505, `imgs_hr_rgb[0, -1]`), so at inference the
+    decoder halves of the first T-1 steps are dead work (their 720p-grid
+    convs are the expensive part)."""
 
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, state, rnn_input):
+    def __call__(self, state, rnn_input, decode=True):
         act = nn.relu
         conv = lambda feats, k, name, stride=1: nn.Conv(
             feats, (k, k), strides=(stride, stride), padding="SAME",
@@ -47,6 +53,8 @@ class _SRStep(nn.Module):
         conv3 = act(conv(128, 3, "enc3", stride=2)(conv2_1))
         state, y1 = ConvLSTMCell(128, (3, 3), dtype=self.dtype,
                                  name="lstm")(state, conv3)
+        if not decode:
+            return state, None
         conv3_1 = act(conv(128, 3, "enc3_1")(y1))
         dec1 = act(deconv(64, 4, "dec1")(conv3_1))
         dec1_1 = act(conv(64, 3, "dec1_1")(dec1 + conv2_1))
@@ -65,7 +73,7 @@ class DRVSR(nn.Module):
         self.flownet = EasyFlow(dtype=self.dtype, name="easyflow")
         self.sr_step = _SRStep(dtype=self.dtype, name="srmodel")
 
-    def __call__(self, frames_lr):
+    def __call__(self, frames_lr, last_only=False):
         n, t, h, w, c = frames_lr.shape
         out_h, out_w = h * self.scale, w * self.scale
         idx0 = t // 2
@@ -87,14 +95,26 @@ class DRVSR(nn.Module):
 
         state0 = ConvLSTMCell.zero_state(n, out_h // 4, out_w // 4, 128, self.dtype)
 
-        scan_fn = nn.scan(
-            lambda mdl, st, xi: mdl(st, xi),
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-        )
-        _, outs = scan_fn(self.sr_step, state0, warped_hr)
+        if last_only:
+            # inference: the reference saves only the LAST frame's decode
+            # (model/drvsr.py:505) — run encoder+LSTM for frames 0..T-2
+            # (unrolled: T=3) and decode once.  Bit-identical to the full
+            # scan's final slice; skips (T-1) decoder passes whose 720p
+            # convs dominate the trunk.
+            state = state0
+            for i in range(t - 1):
+                state, _ = self.sr_step(state, warped_hr[:, i], decode=False)
+            _, out_last = self.sr_step(state, warped_hr[:, t - 1])
+            outs = out_last[:, None]  # [N,1,H,W,1]
+        else:
+            scan_fn = nn.scan(
+                lambda mdl, st, xi: mdl(st, xi),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            _, outs = scan_fn(self.sr_step, state0, warped_hr)
         sr = (outs + bic_ref[:, None]).astype(jnp.float32)
 
         return {

@@ -118,6 +118,31 @@ def test_predictor_drvsr_one_frame_per_window(dataset):
     assert imread(outs[0]).shape == (48, 48, 3)
 
 
+def test_drvsr_last_only_matches_full_scan():
+    """DRVSR(last_only=True) — the serving path that skips the first T-1
+    decoder passes (reference saves only imgs_hr[0, -1],
+    model/drvsr.py:505) — equals the full scan's final slice exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pfnl_tpu.models.drvsr import DRVSR
+
+    model = DRVSR(num_frames=3)
+    x = jnp.asarray(
+        np.random.default_rng(3).random((2, 3, 12, 16, 3), np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(variables, x)["sr"]
+    last = model.apply(variables, x, last_only=True)["sr"]
+    assert last.shape == (2, 1) + full.shape[2:]
+    np.testing.assert_allclose(
+        np.asarray(last[:, 0]), np.asarray(full[:, -1]), atol=1e-5)
+    # param trees agree between the two init paths (checkpoint compat)
+    v2 = model.init(jax.random.PRNGKey(0), x, last_only=True)
+    assert jax.tree.map(lambda a: a.shape, variables) == jax.tree.map(
+        lambda a: a.shape, v2)
+
+
 def test_testvideos_iterates(dataset, tmp_path):
     filelist, seq_dirs = dataset
     root = os.path.dirname(seq_dirs[0])
