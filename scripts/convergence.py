@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MODELS = ["pfnl", "vespcn", "ltdvsr", "mcresnet", "drvsr", "frvsr", "duf"]
 
 
-def make_rich_dataset(root, num_seqs=6, num_frames=20, hw=(160, 256), seed=0):
+def make_rich_dataset(root, num_seqs=24, num_frames=20, hw=(160, 256), seed=0):
     """Aliasing-critical translating scenes: content with energy ABOVE the
     x4-downsample Nyquist so bicubic upscaling clearly loses and temporal
     fusion of sub-pixel-shifted frames genuinely helps.  Per sequence:
@@ -61,10 +61,16 @@ def make_rich_dataset(root, num_seqs=6, num_frames=20, hw=(160, 256), seed=0):
         os.makedirs(os.path.join(d, "blur4"), exist_ok=True)
         v_bg = rng.uniform(-2, 2, 2) + rng.choice([-0.25, 0.25, 0.5], 2)
         v_fg = rng.uniform(-2, 2, 2) + rng.choice([-0.25, 0.25, 0.5], 2)
-        # background gratings (per channel: freq, orientation, sharpness)
-        gfreq = rng.uniform(0.15, 0.40, 3)
+        # background gratings (per channel: freq, orientation, sharpness).
+        # Band 0.14-0.26 cyc/px HR: above the x4 LR Nyquist (0.125) so
+        # bicubic aliases, but where the reference degradation's
+        # sigma=1.6 Gaussian still passes 4-30% energy
+        # (gain = exp(-2pi^2 sigma^2 f^2); at 0.3+ it is <1e-3, i.e.
+        # unrecoverable by ANY method — such content only compresses the
+        # visible PSNR delta between bicubic and ideal fusion)
+        gfreq = rng.uniform(0.14, 0.26, 3)
         gth = rng.uniform(0, np.pi, 3)
-        gsh = rng.uniform(2.0, 5.0, 3)
+        gsh = rng.uniform(1.5, 3.0, 3)
         # foreground shapes
         nshape = rng.integers(6, 11)
         scx = rng.uniform(0, w, nshape)
@@ -111,7 +117,7 @@ def make_rich_dataset(root, num_seqs=6, num_frames=20, hw=(160, 256), seed=0):
             imsave(os.path.join(d, "blur4", f"{t:04d}.png"),
                    np.round(np.clip(lr[t], 0, 1) * 255).astype(np.uint8))
         seq_dirs.append(d)
-    ntrain = max(1, num_seqs - 2)
+    ntrain = max(1, num_seqs - max(2, num_seqs // 8))
     train_list = os.path.join(root, "filelist_train.txt")
     val_list = os.path.join(root, "filelist_val.txt")
     open(train_list, "wt").write("\n".join(seq_dirs[:ntrain]) + "\n")
@@ -169,6 +175,14 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
     if model == "drvsr":
         over["in_size"] = 32   # reference LR crop is 100; smaller here so
         over["batch_size"] = 4  # the synthetic frames (160x256) suffice
+    # compress the reference's LR schedule to the demo run length: the
+    # reference anneals polynomially over decay_step=1.2e5 — at a 2k-10k
+    # demo that leaves LR ~untouched (~1e-3), which oscillates around the
+    # basin instead of refining (measured: pfnl plateaus at +0.3 dB over
+    # bicubic, then drifts).  Same schedule SHAPE, demo-length horizon.
+    # FRVSR's flat-lr preset (end_lr == learning_rate) is unaffected.
+    over["decay_step"] = float(steps)
+    over["max_step"] = steps + 1
     cfg = preset(model, **over)
     # stage engagement within the short run
     staged = cfg.stage_switch_step is not None
