@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from pfnl_tpu.models.blocks import leaky_relu, xavier_uniform
-from pfnl_tpu.ops.warp import backward_warp
+from pfnl_tpu.ops.warp import backward_warp_local
 from pfnl_tpu.ops.resize import resize_bilinear
 
 
@@ -58,7 +58,8 @@ class EasyFlow(nn.Module):
         c5_hr = c5_hr.transpose(0, 1, 4, 2, 5, 3)
         c5_hr = c5_hr.reshape(n, h, w, 2)
 
-        img_warp = backward_warp(imgb, c5_hr)
+        # coarse flow is tanh-bounded (|uv| < 1): gather-free local warp
+        img_warp = backward_warp_local(imgb, c5_hr, max_disp=1)
         c5_pack = jnp.concatenate([inputs, c5_hr, img_warp], axis=-1)
 
         s1 = relu(_conv_(24, 5, "s1", stride=2)(c5_pack))

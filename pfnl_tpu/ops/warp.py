@@ -83,6 +83,64 @@ def backward_warp(im: jax.Array, uv: jax.Array, out_size=None) -> jax.Array:
     return out
 
 
+def backward_warp_local(im: jax.Array, uv: jax.Array,
+                        max_disp: int = 1) -> jax.Array:
+    """`backward_warp` for BOUNDED flows (|uv| <= max_disp), same output
+    size — gather-free.
+
+    TPU gathers serialize per element; with a bounded displacement every
+    output pixel reads only the (2R+2)^2 statically-shifted neighbours,
+    so the bilinear gather becomes masked shift-MULTIPLIES of an
+    edge-replicated canvas — one fused VPU loop, no gather in either the
+    forward or the autodiff (the transpose of a static shift is a static
+    shift).  Edge replication reproduces the reference's index clipping
+    (modules/videosr_ops.py:355-366) bit-for-bit: a clipped tap reads the
+    border pixel, which is exactly the padded value.  Output clipped to
+    [0,1] like `backward_warp`.
+
+    All in-model flows qualify: EasyFlow's coarse stage and LTD/FRVSR
+    flows end in tanh (R=1); full EasyFlow output is a sum of two tanh
+    stages (R=2)."""
+    im, fold = _fold5d(im)
+    uv, _ = _fold5d(uv)
+    b, h, w, c = im.shape
+    r = int(max_disp)
+    p = r + 1
+    uvf = uv.astype(jnp.float32)
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x = gx + uvf[..., 0]
+    y = gy + uvf[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wa = (x0f + 1.0 - x) * (y0f + 1.0 - y)
+    wb = (x0f + 1.0 - x) * (y - y0f)
+    wc = (x - x0f) * (y0f + 1.0 - y)
+    wd = (x - x0f) * (y - y0f)
+    dx0 = x0f - gx  # integer-valued f32; compare in f32 (no relayout)
+    dy0 = y0f - gy
+
+    imf = jnp.pad(im.astype(jnp.float32), ((0, 0), (p, p), (p, p), (0, 0)),
+                  mode="edge")
+    out = jnp.zeros((b, h, w, c), jnp.float32)
+    for dy in range(-r, r + 2):
+        iy0 = (dy0 == dy).astype(jnp.float32)
+        iy1 = (dy0 == dy - 1).astype(jnp.float32)
+        qa = wa * iy0 + wb * iy1
+        qc = wc * iy0 + wd * iy1
+        for dx in range(-r, r + 2):
+            ix0 = (dx0 == dx).astype(jnp.float32)
+            ix1 = (dx0 == dx - 1).astype(jnp.float32)
+            m = qa * ix0 + qc * ix1
+            out = out + m[..., None] * imf[:, p + dy:p + dy + h,
+                                           p + dx:p + dx + w, :]
+    out = jnp.clip(out, 0.0, 1.0).astype(im.dtype)
+    if fold is not None:
+        n, t = fold
+        out = out.reshape(n, t, h, w, c)
+    return out
+
+
 def forward_warp_local(im: jax.Array, uv: jax.Array, max_disp: int = 1,
                        impl: str = "pallas") -> jax.Array:
     """Bilinear splat-warp for BOUNDED flows (|uv| <= max_disp), same

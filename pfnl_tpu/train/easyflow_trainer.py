@@ -26,7 +26,7 @@ import orbax.checkpoint as ocp
 from pfnl_tpu.models.flows import EasyFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.losses import total_variation
-from pfnl_tpu.ops.warp import backward_warp
+from pfnl_tpu.ops.warp import backward_warp_local
 
 
 def easyflow_loss(params, model, frames_y):
@@ -36,7 +36,7 @@ def easyflow_loss(params, model, frames_y):
     flat = frames_y.reshape(b * t, h, w, 1)
     ref_flat = ref.reshape(b * t, h, w, 1)
     uv = model.apply({"params": params}, flat, ref_flat)
-    warped = backward_warp(ref_flat, uv)
+    warped = backward_warp_local(ref_flat, uv, max_disp=2)
     loss_data = jnp.mean(jnp.abs(flat - warped))
     loss_tv = total_variation(uv) / float(np.prod(uv.shape))
     return loss_data + 0.01 * loss_tv, (loss_data, loss_tv)
@@ -180,7 +180,7 @@ class EasyFlowTrainer:
         y = rgb2y(frames)                      # [1,2,h,w,1]
         src, ref = y[:, 0], y[:, 1]
         uv = self.model.apply({"params": params}, src, ref)
-        warped = backward_warp(ref, uv)
+        warped = backward_warp_local(ref, uv, max_disp=2)
         out_dir = os.path.join(self.save_dir, "summaries")
         os.makedirs(out_dir, exist_ok=True)
         to8 = lambda a: np.clip(np.round(np.asarray(a) * 255.0), 0, 255).astype(np.uint8)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.losses import charbonnier, huber, total_variation
-from pfnl_tpu.ops.warp import backward_warp
+from pfnl_tpu.ops.warp import backward_warp_local
 
 
 def _flow_loss(out, lr_shape):
@@ -26,7 +26,9 @@ def _flow_loss(out, lr_shape):
     b, t, h, w, _ = uv.shape
     ref_rep = jnp.broadcast_to(
         out["ref_y"].astype(jnp.float32)[:, None], frames_y.shape)
-    warped = backward_warp(ref_rep, uv)
+    # every in-model flow is tanh-bounded (EasyFlow two-stage sum <= 2,
+    # LTD/FRVSR <= 1): gather-free local warp
+    warped = backward_warp_local(ref_rep, uv, max_disp=2)
     loss_data = jnp.mean(jnp.abs(frames_y - warped))
     uv4 = uv.reshape(b * t, h, w, 2)
     loss_tv = total_variation(uv4) / float(np.prod(uv4.shape))

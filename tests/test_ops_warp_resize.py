@@ -307,3 +307,43 @@ def test_forward_warp_local_pallas_gradients(rng):
     gi_x, gf_x = jax.grad(loss_x, argnums=(0, 1))(im, uv)
     np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), atol=1e-4)
+
+
+def test_backward_warp_local_matches_gather(rng):
+    """Gather-free bounded backward warp == the gather warp (incl. the
+    index-clip border semantics, which edge replication reproduces), at
+    r=1 and r=2, exact integer flows, 5-D folding, and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from pfnl_tpu.ops.warp import backward_warp, backward_warp_local
+
+    im = jnp.asarray(rng.random((2, 13, 17, 3)).astype(np.float32))
+    for r in (1, 2):
+        uv = jnp.asarray((rng.random((2, 13, 17, 2)) * 2 - 1).astype(np.float32)) * r
+        ref = np.asarray(backward_warp(im, uv))
+        got = np.asarray(backward_warp_local(im, uv, max_disp=r))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+        uvi = jnp.asarray(
+            rng.integers(-r, r + 1, (2, 13, 17, 2)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(backward_warp_local(im, uvi, r)),
+            np.asarray(backward_warp(im, uvi)), atol=1e-5)
+
+        # gradients w.r.t. image AND flow match the gather warp's autodiff
+        gr = jax.grad(lambda i, u: jnp.sum(backward_warp(i, u) ** 2),
+                      argnums=(0, 1))(im, uv)
+        gl = jax.grad(
+            lambda i, u: jnp.sum(backward_warp_local(i, u, r) ** 2),
+            argnums=(0, 1))(im, uv)
+        np.testing.assert_allclose(np.asarray(gl[0]), np.asarray(gr[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gl[1]), np.asarray(gr[1]),
+                                   atol=1e-4)
+
+    im5 = im.reshape(1, 2, 13, 17, 3)
+    uv = jnp.asarray((rng.random((2, 13, 17, 2)) * 2 - 1).astype(np.float32))
+    uv5 = uv.reshape(1, 2, 13, 17, 2)
+    np.testing.assert_allclose(
+        np.asarray(backward_warp_local(im5, uv5, 1)),
+        np.asarray(backward_warp(im5, uv5)), atol=1e-5)
