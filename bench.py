@@ -273,7 +273,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="pfnl")
     ap.add_argument("--hw", default="180x320")
-    ap.add_argument("--frames", type=int, default=7)
+    ap.add_argument("--frames", type=int, default=None,
+                    help="default: the model's reference window")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 16, or per-model table with --all")
@@ -293,6 +294,11 @@ if __name__ == "__main__":
     a = ap.parse_args()
     # modes keep their historical defaults: bf16 inference, f32 training
     dt = a.dtype or ("float32" if (a.train or a.train_fit) else "bfloat16")
+    # per-model reference window / largest-fitting batch unless overridden
+    if a.frames is None:
+        a.frames = _MODEL_FRAMES.get(a.model, 7)
+    if a.batch is None and not a.all:
+        a.batch = _MODEL_BATCH.get(a.model, 16)
     if a.profile:
         import jax
 

@@ -120,9 +120,14 @@ def backward_warp_local(im: jax.Array, uv: jax.Array,
     dx0 = x0f - gx  # integer-valued f32; compare in f32 (no relayout)
     dy0 = y0f - gy
 
-    imf = jnp.pad(im.astype(jnp.float32), ((0, 0), (p, p), (p, p), (0, 0)),
-                  mode="edge")
-    out = jnp.zeros((b, h, w, c), jnp.float32)
+    # accumulate CHANNEL-FIRST: with C minor (typically 1) every masked
+    # shift-product would be tiled [.., C->128] in HBM — a 128x padded
+    # temp per term that OOMs compilation at batch 112 720p.  With (h, w)
+    # minor the temps tile at ~1.2x.  For C==1 the transposes are free
+    # (layout-only); the Pallas bounded splat does the same (:228).
+    imf = jnp.pad(im.astype(jnp.float32).transpose(0, 3, 1, 2),
+                  ((0, 0), (0, 0), (p, p), (p, p)), mode="edge")
+    out = jnp.zeros((b, c, h, w), jnp.float32)
     for dy in range(-r, r + 2):
         iy0 = (dy0 == dy).astype(jnp.float32)
         iy1 = (dy0 == dy - 1).astype(jnp.float32)
@@ -132,9 +137,9 @@ def backward_warp_local(im: jax.Array, uv: jax.Array,
             ix0 = (dx0 == dx).astype(jnp.float32)
             ix1 = (dx0 == dx - 1).astype(jnp.float32)
             m = qa * ix0 + qc * ix1
-            out = out + m[..., None] * imf[:, p + dy:p + dy + h,
-                                           p + dx:p + dx + w, :]
-    out = jnp.clip(out, 0.0, 1.0).astype(im.dtype)
+            out = out + m[:, None] * imf[:, :, p + dy:p + dy + h,
+                                         p + dx:p + dx + w]
+    out = jnp.clip(out, 0.0, 1.0).astype(im.dtype).transpose(0, 2, 3, 1)
     if fold is not None:
         n, t = fold
         out = out.reshape(n, t, h, w, c)
@@ -187,8 +192,10 @@ def forward_warp_local(im: jax.Array, uv: jax.Array, max_disp: int = 1,
     dx0 = (x0f - gx).astype(jnp.int32)
     dy0 = (y0f - gy).astype(jnp.int32)
 
-    imf = im.astype(jnp.float32)
-    canvas = jnp.zeros((b, h + 2 * p, w + 2 * p, c), jnp.float32)
+    # channel-first accumulation for the same layout reason as
+    # backward_warp_local: C-minor (C==1) temps tile 128x in HBM
+    imf = im.astype(jnp.float32).transpose(0, 3, 1, 2)  # [b,c,h,w]
+    canvas = jnp.zeros((b, c, h + 2 * p, w + 2 * p), jnp.float32)
     for dy in range(-r, r + 2):
         iy0 = (dy0 == dy).astype(jnp.float32)
         iy1 = (dy0 == dy - 1).astype(jnp.float32)
@@ -197,16 +204,16 @@ def forward_warp_local(im: jax.Array, uv: jax.Array, max_disp: int = 1,
             ix1 = (dx0 == dx - 1).astype(jnp.float32)
             m = (wa * iy0 * ix0 + wb * iy1 * ix0
                  + wc * iy0 * ix1 + wd * iy1 * ix1)
-            canvas = canvas.at[:, p + dy:p + dy + h, p + dx:p + dx + w, :].add(
-                imf * m[..., None])
+            canvas = canvas.at[:, :, p + dy:p + dy + h, p + dx:p + dx + w].add(
+                imf * m[:, None])
     # fold the margins onto the borders (= the reference's index clip)
-    mid = canvas[:, p:p + h]
-    mid = mid.at[:, 0].add(canvas[:, :p].sum(axis=1))
-    mid = mid.at[:, h - 1].add(canvas[:, p + h:].sum(axis=1))
-    out = mid[:, :, p:p + w]
-    out = out.at[:, :, 0].add(mid[:, :, :p].sum(axis=2))
-    out = out.at[:, :, w - 1].add(mid[:, :, p + w:].sum(axis=2))
-    out = out.astype(im.dtype)
+    mid = canvas[:, :, p:p + h]
+    mid = mid.at[:, :, 0].add(canvas[:, :, :p].sum(axis=2))
+    mid = mid.at[:, :, h - 1].add(canvas[:, :, p + h:].sum(axis=2))
+    out = mid[:, :, :, p:p + w]
+    out = out.at[:, :, :, 0].add(mid[:, :, :, :p].sum(axis=3))
+    out = out.at[:, :, :, w - 1].add(mid[:, :, :, p + w:].sum(axis=3))
+    out = out.transpose(0, 2, 3, 1).astype(im.dtype)
     if fold is not None:
         n, t = fold
         out = out.reshape(n, t, h, w, c)

@@ -247,6 +247,10 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
         mask = _lstm_mask(state.params)
         checks["lstm_clip_selects_params"] = bool(
             any(jax.tree.leaves(mask)))
+    ck_path = os.path.join(workroot, "checks.json")
+    all_checks = json.load(open(ck_path)) if os.path.exists(ck_path) else {}
+    all_checks[model] = dict(checks, steps=steps)
+    json.dump(all_checks, open(ck_path, "wt"))
     return curve, checks, wall, int(state.step)
 
 
@@ -266,6 +270,14 @@ def assemble(workroot, out, steps, note=""):
             results[m] = curve
     bl_path = os.path.join(workroot, "baselines.json")
     baselines = json.load(open(bl_path)) if os.path.exists(bl_path) else {}
+    ck_path = os.path.join(workroot, "checks.json")
+    all_checks = json.load(open(ck_path)) if os.path.exists(ck_path) else {}
+    ck_lines = [
+        f"{m} ({c.pop('steps', '?')} steps) checks: {c}"
+        for m, c in all_checks.items() if c.keys() - {"steps"}
+    ]
+    if ck_lines:
+        note = note + "\n" + "\n".join(ck_lines)
     with open(out, "wt") as f:
         f.write("# Convergence evidence (synthetic data)\n\n")
         f.write(
@@ -340,8 +352,6 @@ def main():
     for m, r in results.items():
         if "error" in r:
             notes.append(f"{m} FAILED: {r['error']}")
-        elif r.get("checks"):
-            notes.append(f"{m} checks: {r['checks']}")
     assemble(a.workroot, a.out, a.steps,
              note="\n" + "\n".join(notes) if notes else "")
 
