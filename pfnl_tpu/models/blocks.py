@@ -19,6 +19,22 @@ def leaky_relu(x, alpha: float = 0.2):
     return jnp.maximum(x, alpha * x)
 
 
+class ConvParams(nn.Module):
+    """Owns a conv kernel+bias under the module's name (same param tree as
+    an nn.Conv submodule) without fixing how the conv is executed — used
+    by the layout-selectable conv paths (PFNL's packed conv0 head, the
+    DRVSR/FRVSR packed decoder tails)."""
+
+    kshape: tuple
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.kshape)
+        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+        return k, b
+
+
 class PReLU(nn.Module):
     """Per-channel PReLU with zero-initialized slope
     (reference modules/videosr_ops.py:44-51)."""

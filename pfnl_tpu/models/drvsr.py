@@ -14,12 +14,17 @@ carry (the reference unrolls a Python loop in graph mode).
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
+from pfnl_tpu.models.blocks import ConvParams
 from pfnl_tpu.models.flows import EasyFlow
 from pfnl_tpu.ops.color import rgb2y
 from pfnl_tpu.ops.convlstm import ConvLSTMCell
+from pfnl_tpu.ops.packed_conv import (conv_down2_packed, conv_s1_packed,
+                                      conv_up2_packed)
 from pfnl_tpu.ops.resize import resize_bicubic
+from pfnl_tpu.ops.shuffle import depth_to_space, space_to_depth
 from pfnl_tpu.ops.warp import forward_warp_local, forward_warp_spmc
 
 _xavier = nn.initializers.glorot_uniform
@@ -32,35 +37,96 @@ class _SRStep(nn.Module):
     reference's testvideo saves ONLY the final frame's decode
     (model/drvsr.py:505, `imgs_hr_rgb[0, -1]`), so at inference the
     decoder halves of the first T-1 steps are dead work (their 720p-grid
-    convs are the expensive part)."""
+    convs are the expensive part).
+
+    impl="packed" runs the HR-grid convs (enc1/enc2 and the dec2/dec2_1/
+    dec3 tail) on the space_to_depth(2) layout via the exact kernel
+    rewrites in ops/packed_conv.py: the 1/32-channel convs at 720p are
+    lane-starved on the 128-lane MXU (dec3 5x5 32->1 alone measured
+    26 ms at batch 4; 2.5 ms packed — scripts/packed_conv_bench.py).
+    Identical function space and param tree; "auto" = packed on TPU for
+    even-sized inputs at inference scales."""
 
     dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"  # "auto" | "plain" | "packed"
 
     @nn.compact
     def __call__(self, state, rnn_input, decode=True):
         act = nn.relu
-        conv = lambda feats, k, name, stride=1: nn.Conv(
-            feats, (k, k), strides=(stride, stride), padding="SAME",
-            kernel_init=_xavier(), dtype=self.dtype, name=name,
-        )
-        deconv = lambda feats, k, name: nn.ConvTranspose(
-            feats, (k, k), strides=(2, 2), padding="SAME",
-            kernel_init=_xavier(), dtype=self.dtype, name=name,
-        )
-        conv1 = act(conv(32, 5, "enc1")(rnn_input))
-        conv2 = act(conv(64, 3, "enc2", stride=2)(conv1))
-        conv2_1 = act(conv(64, 3, "enc2_1")(conv2))
-        conv3 = act(conv(128, 3, "enc3", stride=2)(conv2_1))
-        state, y1 = ConvLSTMCell(128, (3, 3), dtype=self.dtype,
+        dt = self.dtype
+        _, oh, ow, _ = rnn_input.shape
+        impl = self.impl
+        if impl == "auto":
+            impl = ("packed"
+                    if (jax.default_backend() == "tpu"
+                        and oh % 2 == 0 and ow % 2 == 0
+                        and oh * ow >= 192 * 192)
+                    else "plain")
+        packed = impl == "packed"
+        if packed and (oh % 4 or ow % 4):
+            raise ValueError(
+                f"impl='packed' needs H,W divisible by 4, got {oh}x{ow}")
+
+        p = lambda name, k, ci, co: ConvParams((k, k, ci, co), _xavier(),
+                                               name=name)()
+        conv = lambda x, kb, stride=1: lax.conv_general_dilated(
+            x, kb[0].astype(x.dtype), (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + kb[1].astype(x.dtype)
+        deconv = lambda x, kb: lax.conv_transpose(
+            x, kb[0].astype(x.dtype), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + kb[1].astype(x.dtype)
+
+        k_e1 = p("enc1", 5, 1, 32)
+        k_e2 = p("enc2", 3, 32, 64)
+        k_e21 = p("enc2_1", 3, 64, 64)
+        k_e3 = p("enc3", 3, 64, 128)
+        x = rnn_input.astype(dt)
+        if packed:
+            # two packing levels: the 720p-grid convs run s2d(2)-packed at
+            # 360p x (4ch), the 360p-grid convs s2d(2)-packed again at
+            # 180p x (4ch) — every conv keeps >= 64 MXU lanes
+            xp = space_to_depth(x, 2)
+            conv1 = act(conv_s1_packed(xp, k_e1[0].astype(dt), k_e1[1]))
+            conv2 = act(conv_down2_packed(conv1, k_e2[0].astype(dt), k_e2[1]))
+            conv2p = space_to_depth(conv2, 2)
+            conv2_1p = act(conv_s1_packed(conv2p, k_e21[0].astype(dt),
+                                          k_e21[1]))
+            conv3 = act(conv_down2_packed(conv2_1p, k_e3[0].astype(dt),
+                                          k_e3[1]))
+        else:
+            conv1 = act(conv(x, k_e1))
+            conv2 = act(conv(conv1, k_e2, stride=2))
+            conv2_1 = act(conv(conv2, k_e21))
+            conv3 = act(conv(conv2_1, k_e3, stride=2))
+        state, y1 = ConvLSTMCell(128, (3, 3), dtype=dt,
                                  name="lstm")(state, conv3)
         if not decode:
             return state, None
-        conv3_1 = act(conv(128, 3, "enc3_1")(y1))
-        dec1 = act(deconv(64, 4, "dec1")(conv3_1))
-        dec1_1 = act(conv(64, 3, "dec1_1")(dec1 + conv2_1))
-        dec2 = act(deconv(32, 4, "dec2")(dec1_1))
-        dec2_1 = act(conv(32, 3, "dec2_1")(dec2 + conv1))
-        out = conv(1, 5, "dec3")(dec2_1)  # no activation
+        k_e31 = p("enc3_1", 3, 128, 128)
+        k_d1 = p("dec1", 4, 128, 64)
+        k_d11 = p("dec1_1", 3, 64, 64)
+        k_d2 = p("dec2", 4, 64, 32)
+        k_d21 = p("dec2_1", 3, 32, 32)
+        k_d3 = p("dec3", 5, 32, 1)
+        conv3_1 = act(conv(y1, k_e31))
+        if packed:
+            dec1p = act(conv_up2_packed(conv3_1, k_d1[0].astype(dt), k_d1[1]))
+            dec1_1p = act(conv_s1_packed(dec1p + conv2_1p,
+                                         k_d11[0].astype(dt), k_d11[1]))
+            dec1_1 = depth_to_space(dec1_1p, 2)  # plain 2x-grid @64
+            dec2 = act(conv_up2_packed(dec1_1, k_d2[0].astype(dt), k_d2[1]))
+            dec2_1 = act(conv_s1_packed(dec2 + conv1, k_d21[0].astype(dt),
+                                        k_d21[1]))
+            out = conv_s1_packed(dec2_1, k_d3[0].astype(dt), k_d3[1])
+            out = depth_to_space(out, 2)  # [N,H,W,1]
+        else:
+            dec1 = act(deconv(conv3_1, k_d1))
+            dec1_1 = act(conv(dec1 + conv2_1, k_d11))
+            dec2 = act(deconv(dec1_1, k_d2))
+            dec2_1 = act(conv(dec2 + conv1, k_d21))
+            out = conv(dec2_1, k_d3)  # no activation
         return state, out
 
 
@@ -68,10 +134,12 @@ class DRVSR(nn.Module):
     num_frames: int = 3
     scale: int = 4
     dtype: jnp.dtype = jnp.float32
+    step_impl: str = "auto"  # _SRStep conv layout: "auto" | "plain" | "packed"
 
     def setup(self):
         self.flownet = EasyFlow(dtype=self.dtype, name="easyflow")
-        self.sr_step = _SRStep(dtype=self.dtype, name="srmodel")
+        self.sr_step = _SRStep(dtype=self.dtype, impl=self.step_impl,
+                               name="srmodel")
 
     def __call__(self, frames_lr, last_only=False):
         n, t, h, w, c = frames_lr.shape

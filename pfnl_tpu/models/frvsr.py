@@ -15,12 +15,16 @@ Streaming inference uses `.step()` frame-by-frame with O(1) state, matching
 the reference's stateful test path (model/frvsr.py:279-303).
 """
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
+from pfnl_tpu.models.blocks import ConvParams
 from pfnl_tpu.models.flows import FRVSRFlow
+from pfnl_tpu.ops.packed_conv import conv_s1_packed, conv_up2_packed
 from pfnl_tpu.ops.resize import resize_bilinear
-from pfnl_tpu.ops.shuffle import space_to_depth
+from pfnl_tpu.ops.shuffle import depth_to_space, space_to_depth
 from pfnl_tpu.ops.warp import forward_warp_local
 
 
@@ -30,10 +34,15 @@ class FRVSR(nn.Module):
     mf: int = 128
     num_blocks: int = 10
     dtype: jnp.dtype = jnp.float32
+    # HR-tail conv layout (large2 + out run at 720p with 128->3 channels —
+    # lane-starved on the MXU; "packed" executes them space_to_depth(2)-
+    # packed via the exact rewrites in ops/packed_conv.py)
+    tail_impl: str = "auto"  # "auto" | "plain" | "packed"
 
     def setup(self):
         conv = lambda feats, k, name: nn.Conv(feats, (k, k), padding="SAME",
                                               dtype=self.dtype, name=name)
+        lecun = nn.initializers.lecun_normal  # flax conv default init
         self.flownet = FRVSRFlow(dtype=self.dtype, name="flow")
         self.conv0_0 = conv(self.mf, 3, "conv0_0")
         self.conv0_1 = conv(self.mf, 3, "conv0_1")
@@ -42,10 +51,11 @@ class FRVSR(nn.Module):
         self.large1 = nn.ConvTranspose(self.mf, (3, 3), strides=(2, 2),
                                        padding="SAME", dtype=self.dtype,
                                        name="large1")
-        self.large2 = nn.ConvTranspose(self.mf, (3, 3), strides=(2, 2),
-                                       padding="SAME", dtype=self.dtype,
-                                       name="large2")
-        self.out_conv = conv(3, 3, "out")
+        # raw params (same tree/init as the nn.ConvTranspose/nn.Conv they
+        # replace) so the execution layout stays selectable
+        self.large2 = ConvParams((3, 3, self.mf, self.mf), lecun(),
+                                 name="large2")
+        self.out_conv = ConvParams((3, 3, self.mf, 3), lecun(), name="out")
 
     def _trunk(self, inp, first: bool):
         act = nn.relu
@@ -55,8 +65,26 @@ class FRVSR(nn.Module):
             c2 = self.conv2[j](c1)
             conv0 = conv0 + c2
         x = act(self.large1(conv0))
-        x = act(self.large2(x))
-        return self.out_conv(x)
+        k2, b2 = self.large2()
+        ko, bo = self.out_conv()
+        impl = self.tail_impl
+        if impl == "auto":
+            hh, ww = x.shape[1], x.shape[2]
+            impl = ("packed"
+                    if (jax.default_backend() == "tpu"
+                        and hh % 2 == 0 and ww % 2 == 0
+                        and hh * ww * 4 >= 192 * 192)
+                    else "plain")
+        if impl == "packed":
+            xp = act(conv_up2_packed(x, k2.astype(x.dtype), b2))
+            out = conv_s1_packed(xp, ko.astype(x.dtype), bo)
+            return depth_to_space(out, 2)
+        x = act(lax.conv_transpose(
+            x, k2.astype(x.dtype), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2.astype(x.dtype))
+        return lax.conv_general_dilated(
+            x, ko.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bo.astype(x.dtype)
 
     def _upscale_warp(self, uv, est):
         """Warp previous SR estimate with the (unscaled) HR-resized flow and
