@@ -63,9 +63,8 @@ class _SRStep(nn.Module):
                         and oh * ow >= 192 * 192)
                     else "plain")
         packed = impl == "packed"
-        if packed and (oh % 4 or ow % 4):
-            raise ValueError(
-                f"impl='packed' needs H,W divisible by 4, got {oh}x{ow}")
+        if packed and (oh % 2 or ow % 2):
+            raise ValueError(f"impl='packed' needs even H,W, got {oh}x{ow}")
 
         p = lambda name, k, ci, co: ConvParams((k, k, ci, co), _xavier(),
                                                name=name)()
@@ -84,22 +83,19 @@ class _SRStep(nn.Module):
         k_e3 = p("enc3", 3, 64, 128)
         x = rnn_input.astype(dt)
         if packed:
-            # two packing levels: the 720p-grid convs run s2d(2)-packed at
-            # 360p x (4ch), the 360p-grid convs s2d(2)-packed again at
-            # 180p x (4ch) — every conv keeps >= 64 MXU lanes
+            # one packing level: only the HR(720p)-grid convs run
+            # s2d(2)-packed.  (Packing the 2x-grid convs a second level —
+            # 180p x 256ch — measured SLOWER end-to-end, 73.3 vs 83.8 fps
+            # at b4: at >= 64 lanes the 4x structural-zero FLOPs of the
+            # packed kernel outweigh the layout gain.)
             xp = space_to_depth(x, 2)
             conv1 = act(conv_s1_packed(xp, k_e1[0].astype(dt), k_e1[1]))
             conv2 = act(conv_down2_packed(conv1, k_e2[0].astype(dt), k_e2[1]))
-            conv2p = space_to_depth(conv2, 2)
-            conv2_1p = act(conv_s1_packed(conv2p, k_e21[0].astype(dt),
-                                          k_e21[1]))
-            conv3 = act(conv_down2_packed(conv2_1p, k_e3[0].astype(dt),
-                                          k_e3[1]))
         else:
             conv1 = act(conv(x, k_e1))
             conv2 = act(conv(conv1, k_e2, stride=2))
-            conv2_1 = act(conv(conv2, k_e21))
-            conv3 = act(conv(conv2_1, k_e3, stride=2))
+        conv2_1 = act(conv(conv2, k_e21))
+        conv3 = act(conv(conv2_1, k_e3, stride=2))
         state, y1 = ConvLSTMCell(128, (3, 3), dtype=dt,
                                  name="lstm")(state, conv3)
         if not decode:
@@ -111,19 +107,15 @@ class _SRStep(nn.Module):
         k_d21 = p("dec2_1", 3, 32, 32)
         k_d3 = p("dec3", 5, 32, 1)
         conv3_1 = act(conv(y1, k_e31))
+        dec1 = act(deconv(conv3_1, k_d1))
+        dec1_1 = act(conv(dec1 + conv2_1, k_d11))
         if packed:
-            dec1p = act(conv_up2_packed(conv3_1, k_d1[0].astype(dt), k_d1[1]))
-            dec1_1p = act(conv_s1_packed(dec1p + conv2_1p,
-                                         k_d11[0].astype(dt), k_d11[1]))
-            dec1_1 = depth_to_space(dec1_1p, 2)  # plain 2x-grid @64
             dec2 = act(conv_up2_packed(dec1_1, k_d2[0].astype(dt), k_d2[1]))
             dec2_1 = act(conv_s1_packed(dec2 + conv1, k_d21[0].astype(dt),
                                         k_d21[1]))
             out = conv_s1_packed(dec2_1, k_d3[0].astype(dt), k_d3[1])
             out = depth_to_space(out, 2)  # [N,H,W,1]
         else:
-            dec1 = act(deconv(conv3_1, k_d1))
-            dec1_1 = act(conv(dec1 + conv2_1, k_d11))
             dec2 = act(deconv(dec1_1, k_d2))
             dec2_1 = act(conv(dec2 + conv1, k_d21))
             out = conv(dec2_1, k_d3)  # no activation
