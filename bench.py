@@ -159,12 +159,12 @@ def fit_bench(model: str = "pfnl", steps: int = 100, batch: int = 16,
 
 
 # per-model temporal window (reference configs, SURVEY.md §0) and the
-# largest 720p batch that fits one v5e chip (frvsr unrolls 10 steps and
-# duf carries 52 dense-3D layers — batch 16 crashes the worker)
+# best-throughput 720p batch that fits one v5e chip (frvsr unrolls 10
+# steps and duf carries 52 dense-3D layers — batch 16 crashes the worker)
 _MODEL_FRAMES = {"pfnl": 7, "vespcn": 3, "ltdvsr": 5, "mcresnet": 5,
                  "drvsr": 3, "frvsr": 10, "duf": 7}
 _MODEL_BATCH = {"pfnl": 16, "vespcn": 16, "ltdvsr": 16, "mcresnet": 16,
-                "drvsr": 4, "frvsr": 4, "duf": 1}
+                "drvsr": 8, "frvsr": 8, "duf": 1}
 
 
 def main(model: str = "pfnl", hw: str = "180x320", frames: int = 7,

@@ -62,6 +62,8 @@ class _SRStep(nn.Module):
                         and oh % 2 == 0 and ow % 2 == 0
                         and oh * ow >= 192 * 192)
                     else "plain")
+        if impl not in ("plain", "packed"):
+            raise ValueError(f"unknown _SRStep impl {self.impl!r}")
         packed = impl == "packed"
         if packed and (oh % 2 or ow % 2):
             raise ValueError(f"impl='packed' needs even H,W, got {oh}x{ow}")

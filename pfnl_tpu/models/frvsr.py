@@ -75,6 +75,8 @@ class FRVSR(nn.Module):
                         and hh % 2 == 0 and ww % 2 == 0
                         and hh * ww * 4 >= 192 * 192)
                     else "plain")
+        if impl not in ("plain", "packed"):
+            raise ValueError(f"unknown FRVSR tail_impl {self.tail_impl!r}")
         if impl == "packed":
             xp = act(conv_up2_packed(x, k2.astype(x.dtype), b2))
             out = conv_s1_packed(xp, ko.astype(x.dtype), bo)

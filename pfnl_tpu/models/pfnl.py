@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from pfnl_tpu.models.blocks import NonLocalBlock, leaky_relu, xavier_uniform
+from pfnl_tpu.models.blocks import (ConvParams, NonLocalBlock, leaky_relu,
+                                    xavier_uniform)
 from pfnl_tpu.ops.pallas.pfrb_xla import pfrb_chain_xla
 from pfnl_tpu.ops.pallas.pfnl_tail import (blocks_and_tail_pack,
                                            blocks_and_tail_prepacked)
@@ -54,20 +55,6 @@ def _xavier_with_fans(fan_in: int, fan_out: int):
         return jax.random.uniform(key, shape, dtype, -limit, limit)
 
     return init
-
-
-class _ConvParams(nn.Module):
-    """Owns a conv kernel+bias under the module's name (same param tree as
-    an nn.Conv submodule) without fixing how the conv is executed."""
-
-    kshape: tuple
-    kernel_init: object
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", self.kernel_init, self.kshape)
-        b = self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
-        return k, b
 
 
 class PFNL(nn.Module):
@@ -104,7 +91,7 @@ class PFNL(nn.Module):
 
         # shared 5x5 conv0 across frames (params at the same tree position
         # as an nn.Conv submodule; execution strategy is selectable)
-        k0, b0 = _ConvParams((5, 5, c, mf), xavier_uniform(), name="conv0")()
+        k0, b0 = ConvParams((5, 5, c, mf), xavier_uniform(), name="conv0")()
 
         impl = self.pfrb_impl
         if impl == "auto":

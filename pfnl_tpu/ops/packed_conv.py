@@ -3,7 +3,7 @@
 TPU MXU dots want >= 128 input/output lanes; convs with 1-32 channels at
 large spatial sizes (the DRVSR/FRVSR decoder tails at 720p) run 10-30x
 below peak because the channel (minor/lane) dimension is nearly empty —
-measured 26.8 ms for DRVSR's 5x5 32->1 @720p at batch 4 vs ~0.3 ms for
+measured 26.8 ms for DRVSR's 5x5 32->1 @720p at batch 4 vs 2.5 ms for
 the packed equivalent (scripts/packed_conv_bench.py).
 
 The fix: run the conv on the space_to_depth(2) layout, where a [B,H,W,C]

@@ -29,6 +29,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MODELS = ["pfnl", "vespcn", "ltdvsr", "mcresnet", "drvsr", "frvsr", "duf"]
 
 
+def _load_json(path):
+    """Tolerate a missing or truncated (interrupted-write) JSON file."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def make_rich_dataset(root, num_seqs=24, num_frames=20, hw=(160, 256), seed=0):
     """Aliasing-critical translating scenes: content with energy ABOVE the
     x4-downsample Nyquist so bicubic upscaling clearly loses and temporal
@@ -201,9 +210,11 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
     ev = Evaluator(cfg, tr.model)
 
     bl_path = os.path.join(workroot, "baselines.json")
-    baselines = json.load(open(bl_path)) if os.path.exists(bl_path) else {}
+    baselines = _load_json(bl_path)
     baselines[model] = bicubic_baseline(ev, cfg)
-    json.dump(baselines, open(bl_path, "wt"))
+    with open(bl_path + ".tmp", "wt") as f:
+        json.dump(baselines, f)
+    os.replace(bl_path + ".tmp", bl_path)
 
     flow_snap = {}
 
@@ -248,9 +259,12 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
         checks["lstm_clip_selects_params"] = bool(
             any(jax.tree.leaves(mask)))
     ck_path = os.path.join(workroot, "checks.json")
-    all_checks = json.load(open(ck_path)) if os.path.exists(ck_path) else {}
+    all_checks = _load_json(ck_path)
     all_checks[model] = dict(checks, steps=steps)
-    json.dump(all_checks, open(ck_path, "wt"))
+    # atomic replace: an interrupted write must not lose the sweep record
+    with open(ck_path + ".tmp", "wt") as f:
+        json.dump(all_checks, f)
+    os.replace(ck_path + ".tmp", ck_path)
     return curve, checks, wall, int(state.step)
 
 
@@ -269,9 +283,9 @@ def assemble(workroot, out, steps, note=""):
         if curve:
             results[m] = curve
     bl_path = os.path.join(workroot, "baselines.json")
-    baselines = json.load(open(bl_path)) if os.path.exists(bl_path) else {}
+    baselines = _load_json(bl_path)
     ck_path = os.path.join(workroot, "checks.json")
-    all_checks = json.load(open(ck_path)) if os.path.exists(ck_path) else {}
+    all_checks = _load_json(ck_path)
     ck_lines = [
         f"{m} ({c.pop('steps', '?')} steps) checks: {c}"
         for m, c in all_checks.items() if c.keys() - {"steps"}
