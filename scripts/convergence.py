@@ -168,13 +168,21 @@ def bicubic_baseline(ev, cfg):
     return float(10 * np.log10(1.0 / np.mean(mses)))
 
 
-def run_family(model, train_list, val_list, steps, eval_every, workroot):
+def run_family(model, train_list, val_list, steps, eval_every, workroot,
+               easyflow_handoff=False):
+    """easyflow_handoff: pretrain EasyFlow standalone (self-supervised, on
+    the LR frames) and restore it into the SR model before training — the
+    reference's own EASYFLOW -> load_easyflow workflow
+    (modules/model_easyflow.py:131-240).  Without it, stage 0 trains the
+    SR trunk against warps from a FROZEN RANDOM flow net; on
+    aliasing-critical data those warps actively mislead (vespcn measured
+    -3 dB vs bicubic after 10k joint-from-scratch steps)."""
     import jax
     import jax.numpy as jnp
 
     from pfnl_tpu.config import preset
     from pfnl_tpu.data.manifest import load_manifest
-    from pfnl_tpu.data.pipeline import TrainPipeline
+    from pfnl_tpu.data.pipeline import TrainPipeline, device_augment_and_degrade
     from pfnl_tpu.eval.evaluator import Evaluator
     from pfnl_tpu.train.trainer import Trainer
 
@@ -209,6 +217,28 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
                          num_threads=2, prefetch=4)
     ev = Evaluator(cfg, tr.model)
 
+    state = None
+    if easyflow_handoff:
+        from pfnl_tpu.train.easyflow_trainer import (EasyFlowTrainer,
+                                                     restore_easyflow_params)
+
+        flow_dir = os.path.join(workroot, f"{model}_easyflow")
+        hsteps = max(steps // 5, min(500, steps))
+        ft = EasyFlowTrainer(train_list=train_list, save_dir=flow_dir,
+                             num_frames=cfg.num_frames, crop_size=24,
+                             batch_size=16, subdir=f"blur{cfg.scale}",
+                             seed=cfg.seed)
+        ft.train(max_steps=hsteps, print_fn=lambda *a: None,
+                 save_every=hsteps, summary_every=10 ** 9,
+                 image_summary_every=0)
+        batch0 = pipe.get_batch()
+        lr0, _ = device_augment_and_degrade(
+            jax.tree.map(jnp.asarray, batch0), jax.random.PRNGKey(0),
+            cfg.producer, cfg.scale)
+        state = tr.init_state(jax.random.PRNGKey(cfg.seed), np.asarray(lr0))
+        state = state.replace(
+            params=restore_easyflow_params(flow_dir, state.params))
+
     bl_path = os.path.join(workroot, "baselines.json")
     baselines = _load_json(bl_path)
     baselines[model] = bicubic_baseline(ev, cfg)
@@ -230,7 +260,7 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
                     jax.tree.leaves(state.params[fl[0]])[0])
 
     t0 = time.time()
-    state = tr.fit(pipe, max_steps=steps, eval_fn=eval_fn,
+    state = tr.fit(pipe, state=state, max_steps=steps, eval_fn=eval_fn,
                    save_every=eval_every, print_fn=lambda *a: None)
     pipe.close()
     wall = time.time() - t0
@@ -242,6 +272,8 @@ def run_family(model, train_list, val_list, steps, eval_every, workroot):
         curve.append((rec["Iter"], float(np.mean(p))))
 
     checks = {}
+    if easyflow_handoff:
+        checks["easyflow_pretrained"] = True
     if staged:
         s0 = sorted(k for k in flow_snap if k <= cfg.stage_switch_step)
         s1 = sorted(k for k in flow_snap if k > cfg.stage_switch_step)
@@ -335,6 +367,10 @@ def main():
     ap.add_argument("--workroot", default="/tmp/conv_runs")
     ap.add_argument("--out", default="CONVERGENCE.md")
     ap.add_argument("--assemble-only", action="store_true")
+    ap.add_argument("--easyflow-handoff", action="store_true",
+                    help="pretrain EasyFlow standalone and restore it into "
+                         "the EasyFlow-using families before SR training "
+                         "(the reference's load_easyflow workflow)")
     a = ap.parse_args()
     if a.assemble_only:
         assemble(a.workroot, a.out, a.steps)
@@ -354,7 +390,9 @@ def main():
         print(f"=== {m}: {a.steps} steps ===", flush=True)
         try:
             curve, checks, wall, step = run_family(
-                m, train_list, val_list, a.steps, a.eval_every, a.workroot)
+                m, train_list, val_list, a.steps, a.eval_every, a.workroot,
+                easyflow_handoff=(a.easyflow_handoff
+                                  and m in ("vespcn", "mcresnet", "drvsr")))
             results[m] = dict(curve=curve, checks=checks, wall=wall, step=step)
             print(f"{m}: {curve} checks={checks} ({wall:.0f}s)", flush=True)
         except Exception as e:
