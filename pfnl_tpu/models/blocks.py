@@ -37,12 +37,24 @@ class ConvParams(nn.Module):
 
 class PReLU(nn.Module):
     """Per-channel PReLU with zero-initialized slope
-    (reference modules/videosr_ops.py:44-51)."""
+    (reference modules/videosr_ops.py:44-51).
+
+    `channels` pins the alpha parameter to the LOGICAL channel count so
+    the activation can also be applied on a space-to-depth-packed layout
+    (packed channel = phase*C + c, so alpha tiles phase-major); leaving
+    it None infers from the input as before."""
+
+    channels: int = None
 
     @nn.compact
     def __call__(self, x):
-        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
-        return jax.nn.relu(x) + alpha.astype(x.dtype) * (x - jnp.abs(x)) * 0.5
+        c = self.channels if self.channels is not None else x.shape[-1]
+        alpha = self.param("alpha", nn.initializers.zeros, (c,))
+        a = alpha
+        if x.shape[-1] != c:
+            assert x.shape[-1] % c == 0, (x.shape, c)
+            a = jnp.tile(alpha, x.shape[-1] // c)
+        return jax.nn.relu(x) + a.astype(x.dtype) * (x - jnp.abs(x)) * 0.5
 
 
 class NonLocalBlock(nn.Module):

@@ -141,3 +141,81 @@ def test_drvsr_model_packed_matches_plain():
     y1 = packed.apply(variables, x, last_only=True)
     np.testing.assert_allclose(np.asarray(y1["sr"]), np.asarray(y0["sr"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_easyflow_packed_matches_plain():
+    from pfnl_tpu.models.flows import EasyFlow
+
+    rng = np.random.default_rng(7)
+    a = _rand(rng, 2, 16, 24, 1)
+    b = _rand(rng, 2, 16, 24, 1)
+    plain = EasyFlow(impl="plain")
+    packed = EasyFlow(impl="packed")
+    variables = plain.init(jax.random.PRNGKey(0), a, b)
+    y0 = plain.apply(variables, a, b)
+    y1 = packed.apply(variables, a, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
+    # the packed path trains: grads w.r.t. the ORIGINAL kernels match
+    def loss(v, m):
+        return jnp.mean(m.apply(v, a, b) ** 2)
+
+    g0 = jax.grad(loss)(variables, plain)
+    g1 = jax.grad(loss)(variables, packed)
+    jax.tree.map(
+        lambda u, v: np.testing.assert_allclose(
+            np.asarray(v), np.asarray(u), rtol=1e-3, atol=1e-5),
+        g0, g1)
+
+
+def test_easyflow_packed_rejects_odd_sizes():
+    from pfnl_tpu.models.flows import EasyFlow
+
+    rng = np.random.default_rng(8)
+    a = _rand(rng, 1, 18, 24, 1)
+    b = _rand(rng, 1, 18, 24, 1)
+    packed = EasyFlow(impl="packed")
+    with pytest.raises(ValueError):
+        packed.init(jax.random.PRNGKey(0), a, b)
+
+
+def test_mcresnet_trunk_packed_matches_plain():
+    from pfnl_tpu.models.mcresnet import MCResNet
+
+    rng = np.random.default_rng(9)
+    x = _rand(rng, 2, 5, 16, 24, 3)
+    plain = MCResNet(trunk_impl="plain")
+    packed = MCResNet(trunk_impl="packed")
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    # randomize every param (PReLU alphas init to zero, which would make
+    # the phase-major alpha tiling untested)
+    leaves, treedef = jax.tree.flatten(variables)
+    leaves = [jnp.asarray(rng.standard_normal(l.shape), l.dtype) * 0.1
+              for l in leaves]
+    variables = jax.tree.unflatten(treedef, leaves)
+    y0 = plain.apply(variables, x)
+    y1 = packed.apply(variables, x)
+    # random 0.1-scale params through the 9-conv accumulating trunk give
+    # outputs of magnitude ~200: atol reflects f32 reduction-order noise
+    np.testing.assert_allclose(np.asarray(y1["sr"]), np.asarray(y0["sr"]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_mcresnet_packed_grads_match():
+    from pfnl_tpu.models.mcresnet import MCResNet
+
+    rng = np.random.default_rng(10)
+    x = _rand(rng, 1, 5, 8, 12, 3)
+    plain = MCResNet(trunk_impl="plain")
+    packed = MCResNet(trunk_impl="packed")
+    variables = plain.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, m):
+        return jnp.mean(m.apply(v, x)["sr"] ** 2)
+
+    g0 = jax.grad(loss)(variables, plain)
+    g1 = jax.grad(loss)(variables, packed)
+    jax.tree.map(
+        lambda u, v: np.testing.assert_allclose(
+            np.asarray(v), np.asarray(u), rtol=1e-3, atol=1e-5),
+        g0, g1)
