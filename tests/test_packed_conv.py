@@ -219,3 +219,21 @@ def test_mcresnet_packed_grads_match():
         lambda u, v: np.testing.assert_allclose(
             np.asarray(v), np.asarray(u), rtol=1e-3, atol=1e-5),
         g0, g1)
+
+
+def test_vespcn_trunk_packed_matches_plain():
+    from pfnl_tpu.models.vespcn import VESPCN
+
+    rng = np.random.default_rng(11)
+    x = _rand(rng, 2, 3, 16, 24, 3)
+    plain = VESPCN(trunk_impl="plain")
+    packed = VESPCN(trunk_impl="packed")
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    leaves, treedef = jax.tree.flatten(variables)
+    leaves = [jnp.asarray(rng.standard_normal(l.shape), l.dtype) * 0.1
+              for l in leaves]
+    variables = jax.tree.unflatten(treedef, leaves)
+    y0 = plain.apply(variables, x)
+    y1 = packed.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y1["sr"]), np.asarray(y0["sr"]),
+                               rtol=1e-4, atol=1e-4)
