@@ -163,18 +163,64 @@ class FRVSRFlow(nn.Module):
 
 
 class LTDFlow(nn.Module):
-    """LTDVSR's pooled flow net (model/ltdvsr.py:136-149)."""
+    """LTDVSR's pooled flow net (model/ltdvsr.py:136-149).
+
+    impl="packed" runs the 9x9 32-channel conv towers on the
+    space_to_depth(2) layout (exact rewrites, ops/packed_conv.py — 32 of
+    128 MXU lanes live on the plain layout), and the 2x2/s2 max-pools
+    become a max over the 4 block phases of the packed conv output
+    (identical by definition of the packing).  Same function space and
+    param tree; "auto" = packed on TPU when h, w are multiples of 4.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"  # "auto" | "plain" | "packed"
 
     @nn.compact
     def __call__(self, source, reference):
-        _conv_ = functools.partial(_conv, dtype=self.dtype)
         n, h, w, c = reference.shape
-        x = jnp.concatenate([reference, source], axis=-1).astype(self.dtype)
-        x = nn.relu(_conv_(32, 9, "conv0")(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.relu(_conv_(32, 9, "conv1")(x))
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        dt = self.dtype
+        x = jnp.concatenate([reference, source], axis=-1).astype(dt)
+
+        impl = self.impl
+        if impl == "auto":
+            impl = ("packed"
+                    if jax.default_backend() == "tpu" and h % 4 == 0
+                    and w % 4 == 0 else "plain")
+        if impl not in ("plain", "packed"):
+            raise ValueError(f"unknown LTDFlow impl {self.impl!r}")
+        if impl == "packed" and (h % 4 or w % 4):
+            raise ValueError(f"impl='packed' needs h,w % 4 == 0, got {h}x{w}")
+
+        p = lambda name, k, ci, co: ConvParams((k, k, ci, co),
+                                               xavier_uniform(), name=name)()
+        k0 = p("conv0", 9, 2 * c, 32)
+        k1 = p("conv1", 9, 32, 32)
+        k2 = p("conv2", 3, 32, 2)
+
+        def plain(xx, kb):
+            k, b = kb
+            o = jax.lax.conv_general_dilated(
+                xx, k.astype(dt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return o + b.astype(dt)
+
+        if impl == "packed":
+            def phase_max(xp, co):
+                # max over the 4 s2d(2) block phases == max_pool 2x2/s2
+                m, hh, ww, _ = xp.shape
+                return jnp.max(xp.reshape(m, hh, ww, 4, co), axis=3)
+
+            xp = space_to_depth(x, 2)                       # [n,h/2,w/2,8]
+            x = phase_max(
+                nn.relu(conv_s1_packed(xp, k0[0].astype(dt), k0[1])), 32)
+            xp = space_to_depth(x, 2)                       # [n,h/4,w/4,128]
+            x = phase_max(
+                nn.relu(conv_s1_packed(xp, k1[0].astype(dt), k1[1])), 32)
+        else:
+            x = nn.relu(plain(x, k0))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.relu(plain(x, k1))
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = resize_bilinear(x, (h, w))
-        return jnp.tanh(_conv_(2, 3, "conv2")(x))
+        return jnp.tanh(plain(x, k2))

@@ -237,3 +237,50 @@ def test_vespcn_trunk_packed_matches_plain():
     y1 = packed.apply(variables, x)
     np.testing.assert_allclose(np.asarray(y1["sr"]), np.asarray(y0["sr"]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ltdvsr_tem_packed_matches_plain():
+    from pfnl_tpu.models.ltdvsr import LTDVSR
+
+    rng = np.random.default_rng(12)
+    x = _rand(rng, 2, 5, 8, 12, 3)
+    plain = LTDVSR(tem_impl="plain")
+    packed = LTDVSR(tem_impl="packed")
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    leaves, treedef = jax.tree.flatten(variables)
+    leaves = [jnp.asarray(rng.standard_normal(l.shape), l.dtype) * 0.1
+              for l in leaves]
+    variables = jax.tree.unflatten(treedef, leaves)
+    y0 = plain.apply(variables, x)
+    y1 = packed.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y1["sr"]), np.asarray(y0["sr"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ltdflow_packed_matches_plain():
+    from pfnl_tpu.models.flows import LTDFlow
+
+    rng = np.random.default_rng(13)
+    a = _rand(rng, 3, 16, 24, 1)
+    b = _rand(rng, 3, 16, 24, 1)
+    plain = LTDFlow(impl="plain")
+    packed = LTDFlow(impl="packed")
+    variables = plain.init(jax.random.PRNGKey(0), a, b)
+    leaves, treedef = jax.tree.flatten(variables)
+    leaves = [jnp.asarray(rng.standard_normal(l.shape), l.dtype) * 0.1
+              for l in leaves]
+    variables = jax.tree.unflatten(treedef, leaves)
+    y0 = plain.apply(variables, a, b)
+    y1 = packed.apply(variables, a, b)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients w.r.t. params agree through the packed rewrites + phase-max
+    def loss(impl):
+        mod = LTDFlow(impl=impl)
+        return lambda v: jnp.sum(mod.apply(v, a, b) ** 2)
+
+    g0 = jax.grad(loss("plain"))(variables)
+    g1 = jax.grad(loss("packed"))(variables)
+    jax.tree.map(lambda u, v: np.testing.assert_allclose(
+        np.asarray(v), np.asarray(u), rtol=1e-3, atol=1e-4), g0, g1)
