@@ -43,6 +43,34 @@ def _random_crop_coords(rng, h, w, size):
     return rng.integers(0, h - size + 1), rng.integers(0, w - size + 1)
 
 
+def sample_flip_crop(rng, h, w, in_size, scale):
+    """Crop offsets + flips for a pre-rendered LR/GT pair such that the
+    flipped pair stays aligned.
+
+    The degradation (ops/degrade.py, reference utils.py:160-163: REFLECT
+    pad scale+2 then stride-`scale` depthwise conv) centers LR pixel i at
+    GT pixel scale*i.  Flipping an LR crop and the correspondingly-cropped
+    GT patch therefore misaligns the pair by scale-1 GT pixels — the
+    reference's double_input_producer has this bug (base_model.py:97-103;
+    its own comment reads "if training gets worse, comment the data flip
+    part out", and on aliasing-critical content it trains the model to
+    blur).  Fix: when flipping along an axis, crop GT at
+    scale*y0 - (scale-1) instead of scale*y0 (measured exact:
+    flip(LR) == downsample(roll(flip(GT), -(scale-1)))).
+
+    Returns (y0, x0, gy, gx, flip_y, flip_x, transpose): LR crop offsets,
+    GT crop offsets, and the flips to apply to both decoded patches.
+    """
+    flip_y, flip_x, transpose = rng.random(3) < 0.5
+    flip_y &= h - in_size >= 1  # need 1 LR px of margin for the GT shift
+    flip_x &= w - in_size >= 1
+    y0 = rng.integers(1 if flip_y else 0, h - in_size + 1)
+    x0 = rng.integers(1 if flip_x else 0, w - in_size + 1)
+    gy = y0 * scale - ((scale - 1) if flip_y else 0)
+    gx = x0 * scale - ((scale - 1) if flip_x else 0)
+    return y0, x0, gy, gx, flip_y, flip_x, transpose
+
+
 class TrainPipeline:
     """Background-threaded sampler producing uint8 numpy batches."""
 
@@ -57,8 +85,13 @@ class TrainPipeline:
         seed: int = 0,
         num_threads: int = 2,
         prefetch: int = 4,
+        augment: bool = True,
     ):
+        """augment: for "double", alignment-preserving host-side flips
+        (sample_flip_crop); "single" augments on device (flip before
+        degrade is exact); "frvsr" never augments (reference parity)."""
         assert mode in ("single", "double", "frvsr")
+        self.augment = augment
         self.sequences = [s for s in sequences if len(s.truth) >= num_frames]
         if not self.sequences:
             raise ValueError("no usable sequences (need >= num_frames truth frames)")
@@ -114,15 +147,30 @@ class TrainPipeline:
             return {"gt": gt}
         # double / frvsr: aligned LR + GT crops
         h, w = self._frame_size(seq.blur[idx[0]])
-        y0, x0 = _random_crop_coords(rng, h, w, self.in_size)
+        if self.mode == "double" and self.augment:
+            # alignment-preserving host-side flips (see sample_flip_crop)
+            y0, x0, gy, gx, fy, fx, ftr = sample_flip_crop(
+                rng, h, w, self.in_size, self.scale)
+        else:
+            y0, x0 = _random_crop_coords(rng, h, w, self.in_size)
+            gy, gx = y0 * self.scale, x0 * self.scale
+            fy = fx = ftr = False
         lr = self._decode_window([seq.blur[i] for i in idx], y0, x0, self.in_size)
-        gy, gx = y0 * self.scale, x0 * self.scale
         if self.mode == "double":
             gt = self._decode_window(
                 [seq.truth[t0 + self.num_frames // 2]], gy, gx, self.gt_size
             )
         else:
             gt = self._decode_window([seq.truth[i] for i in idx], gy, gx, self.gt_size)
+        if fy:
+            lr, gt = lr[:, ::-1], gt[:, ::-1]
+        if fx:
+            lr, gt = lr[:, :, ::-1], gt[:, :, ::-1]
+        if ftr:
+            lr = lr.transpose(0, 2, 1, 3)
+            gt = gt.transpose(0, 2, 1, 3)
+        if fy or fx or ftr:
+            lr, gt = np.ascontiguousarray(lr), np.ascontiguousarray(gt)
         return {"lr": lr, "gt": gt}
 
     def _worker(self, seed: int):
@@ -166,11 +214,17 @@ def device_augment_and_degrade(
     mode: str,
     scale: int,
     augment: bool = True,
+    legacy_double_flip: bool = False,
 ):
     """uint8 host batch -> float LR/GT training tensors, on device.
 
     single: {"gt" [B,T,S,S,3]} -> lr [B,T,s,s,3], gt center [B,1,S,S,3]
-    double: {"lr","gt"} -> flips applied consistently to both
+            (flip THEN degrade, so augmented pairs stay exactly aligned)
+    double: {"lr","gt"} -> pass-through; flips happen on the host with
+            alignment-corrected GT crops (sample_flip_crop).  Flipping a
+            pre-rendered LR/GT pair "consistently" here misaligns it by
+            scale-1 GT px — the reference bug (base_model.py:97-103) is
+            available behind legacy_double_flip=True for parity studies.
     frvsr:  {"lr","gt"} -> no augmentation (reference parity)
     """
     if mode == "single":
@@ -183,7 +237,7 @@ def device_augment_and_degrade(
         return lr, gt[:, t // 2 : t // 2 + 1]
     lr = batch["lr"].astype(jnp.float32) / 255.0
     gt = batch["gt"].astype(jnp.float32) / 255.0
-    if mode == "double" and augment:
+    if mode == "double" and augment and legacy_double_flip:
         b = lr.shape[0]
         flips = jax.random.uniform(key, (b, 3)) < 0.5
         lr = jax.vmap(_flip_clip)(lr, flips[:, 0], flips[:, 1], flips[:, 2])

@@ -91,8 +91,8 @@ class _SRStep(nn.Module):
             # at b4: at >= 64 lanes the 4x structural-zero FLOPs of the
             # packed kernel outweigh the layout gain.)
             xp = space_to_depth(x, 2)
-            conv1 = act(conv_s1_packed(xp, k_e1[0].astype(dt), k_e1[1]))
-            conv2 = act(conv_down2_packed(conv1, k_e2[0].astype(dt), k_e2[1]))
+            conv1 = act(conv_s1_packed(xp, k_e1[0], k_e1[1]))
+            conv2 = act(conv_down2_packed(conv1, k_e2[0], k_e2[1]))
         else:
             conv1 = act(conv(x, k_e1))
             conv2 = act(conv(conv1, k_e2, stride=2))
@@ -112,10 +112,10 @@ class _SRStep(nn.Module):
         dec1 = act(deconv(conv3_1, k_d1))
         dec1_1 = act(conv(dec1 + conv2_1, k_d11))
         if packed:
-            dec2 = act(conv_up2_packed(dec1_1, k_d2[0].astype(dt), k_d2[1]))
-            dec2_1 = act(conv_s1_packed(dec2 + conv1, k_d21[0].astype(dt),
+            dec2 = act(conv_up2_packed(dec1_1, k_d2[0], k_d2[1]))
+            dec2_1 = act(conv_s1_packed(dec2 + conv1, k_d21[0],
                                         k_d21[1]))
-            out = conv_s1_packed(dec2_1, k_d3[0].astype(dt), k_d3[1])
+            out = conv_s1_packed(dec2_1, k_d3[0], k_d3[1])
             out = depth_to_space(out, 2)  # [N,H,W,1]
         else:
             dec2 = act(deconv(dec1_1, k_d2))

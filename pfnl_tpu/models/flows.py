@@ -89,10 +89,10 @@ class EasyFlow(nn.Module):
 
         if impl == "packed":
             xp = space_to_depth(inputs, 2)                     # [n,h/2,w/2,4*2c]
-            c1 = relu(conv_down2_packed(xp, k_c1[0].astype(dt), k_c1[1]))
+            c1 = relu(conv_down2_packed(xp, k_c1[0], k_c1[1]))
             c1p = space_to_depth(c1, 2)                        # [n,h/4,w/4,96]
-            c2p = relu(conv_s1_packed(c1p, k_c2[0].astype(dt), k_c2[1]))
-            c3 = relu(conv_down2_packed(c2p, k_c3[0].astype(dt), k_c3[1]))
+            c2p = relu(conv_s1_packed(c1p, k_c2[0], k_c2[1]))
+            c3 = relu(conv_down2_packed(c2p, k_c3[0], k_c3[1]))
             # h/4 x w/4 can be odd (45x80 at 180x320): c4/c5 stay plain —
             # they carry ~8% of the tower FLOPs
             c4 = relu(plain(c3, k_c4))
@@ -116,12 +116,12 @@ class EasyFlow(nn.Module):
 
         if impl == "packed":
             sp = space_to_depth(c5_pack, 2)                    # [n,h/2,w/2,4*(2c+3)]
-            s1 = relu(conv_down2_packed(sp, k_s1[0].astype(dt), k_s1[1]))
+            s1 = relu(conv_down2_packed(sp, k_s1[0], k_s1[1]))
             s1p = space_to_depth(s1, 2)                        # [n,h/4,w/4,96]
-            s2p = relu(conv_s1_packed(s1p, k_s2[0].astype(dt), k_s2[1]))
-            s3p = relu(conv_s1_packed(s2p, k_s3[0].astype(dt), k_s3[1]))
-            s4p = relu(conv_s1_packed(s3p, k_s4[0].astype(dt), k_s4[1]))
-            s5p = jnp.tanh(conv_s1_packed(s4p, k_s5[0].astype(dt), k_s5[1]))
+            s2p = relu(conv_s1_packed(s1p, k_s2[0], k_s2[1]))
+            s3p = relu(conv_s1_packed(s2p, k_s3[0], k_s3[1]))
+            s4p = relu(conv_s1_packed(s3p, k_s4[0], k_s4[1]))
+            s5p = jnp.tanh(conv_s1_packed(s4p, k_s5[0], k_s5[1]))
             s5 = depth_to_space(s5p, 2)                        # [n,h/2,w/2,8]
         else:
             s1 = relu(plain(c5_pack, k_s1, stride=2))
@@ -213,10 +213,10 @@ class LTDFlow(nn.Module):
 
             xp = space_to_depth(x, 2)                       # [n,h/2,w/2,8]
             x = phase_max(
-                nn.relu(conv_s1_packed(xp, k0[0].astype(dt), k0[1])), 32)
+                nn.relu(conv_s1_packed(xp, k0[0], k0[1])), 32)
             xp = space_to_depth(x, 2)                       # [n,h/4,w/4,128]
             x = phase_max(
-                nn.relu(conv_s1_packed(xp, k1[0].astype(dt), k1[1])), 32)
+                nn.relu(conv_s1_packed(xp, k1[0], k1[1])), 32)
         else:
             x = nn.relu(plain(x, k0))
             x = nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -109,7 +109,7 @@ class MCResNet(nn.Module):
             for i in range(t):
                 ke, be = self.enc1[abs(i - idx0)]()
                 enc.append(self.enc1_act[i](
-                    conv_s1_packed(wp[:, i], ke.astype(dt), be)))
+                    conv_s1_packed(wp[:, i], ke, be)))
             # concat of per-frame packed outputs: channel = f*256 + ph*64 + c;
             # fold the layout difference into the (compile-time) kernel
             # permutation instead of relayouting the activation
@@ -124,10 +124,10 @@ class MCResNet(nn.Module):
             for i in range(1, 9):
                 ki, bi = self.enc2[i]()
                 conv2 = self.enc2_act[i](
-                    conv_s1_packed(merge, ki.astype(dt), bi))
+                    conv_s1_packed(merge, ki, bi))
                 merge = merge + conv2
             k6, b6 = self.conv6()
-            x = self.conv6_act(conv_s1_packed(conv2, k6.astype(dt), b6))
+            x = self.conv6_act(conv_s1_packed(conv2, k6, b6))
             x = depth_to_space(x, 2)                   # logical [N,h,w,16]
         else:
             enc = [

@@ -87,12 +87,12 @@ class VESPCN(nn.Module):
         if impl == "packed":
             xp = space_to_depth(sr_input, 2)             # [n,h/2,w/2,4t]
             k1, b1 = self.enc1()
-            xp = next(a)(conv_s1_packed(xp, k1.astype(dt), b1))
+            xp = next(a)(conv_s1_packed(xp, k1, b1))
             for conv_i in self.enc2:
                 ki, bi = conv_i()
-                xp = next(a)(conv_s1_packed(xp, ki.astype(dt), bi))
+                xp = next(a)(conv_s1_packed(xp, ki, bi))
             k6, b6 = self.conv6()
-            xp = next(a)(conv_s1_packed(xp, k6.astype(dt), b6))
+            xp = next(a)(conv_s1_packed(xp, k6, b6))
             x = depth_to_space(xp, 2)                    # logical [n,h,w,16]
         else:
             x = next(a)(plain_conv(sr_input, self.enc1))

@@ -92,6 +92,8 @@ def main(batch=16, t=5, h=180, w=320, dtype=jnp.bfloat16):
     def stage_b(flat, uv, cc):
         return forward_warp_local(flat + cc.astype(dtype) * 1e-12, uv, 1)
 
+    nnrelu = jax.nn.relu
+
     def _branch(b, xx):
         xx = nnrelu(conv(xx, f"conv{b}_0"))
         xx = nnrelu(conv(xx, f"conv{b}_1"))
@@ -99,7 +101,6 @@ def main(batch=16, t=5, h=180, w=320, dtype=jnp.bfloat16):
         xx = conv(xx, f"conv{b}_2")
         return depth_to_space(xx, s)
 
-    nnrelu = jax.nn.relu
     idx0 = t // 2
 
     def cat(warped, lo, hi):

@@ -37,14 +37,44 @@ def test_pipeline_shapes_and_determinism(dataset):
 
 
 def test_pipeline_double_mode_alignment(dataset):
+    """Every double-producer sample — including flipped/transposed ones —
+    must satisfy downsample(gt_patch) == lr_center_patch (interior): the
+    alignment the reference's flip augmentation breaks by scale-1 GT px
+    (base_model.py:97-103; fixed via sample_flip_crop)."""
+    from pfnl_tpu.ops.degrade import downsample
+
     filelist, _ = dataset
     seqs = load_manifest(filelist, need_blur=True)
     p = TrainPipeline(seqs, "double", num_frames=3, in_size=8, scale=4,
-                      batch_size=2, num_threads=1, prefetch=2)
-    b = p.get_batch()
+                      batch_size=2, num_threads=1, prefetch=2, seed=3)
+    batches = [p.get_batch() for _ in range(4)]
     p.close()
-    assert b["lr"].shape == (2, 3, 8, 8, 3)
-    assert b["gt"].shape == (2, 1, 32, 32, 3)
+    assert batches[0]["lr"].shape == (2, 3, 8, 8, 3)
+    assert batches[0]["gt"].shape == (2, 1, 32, 32, 3)
+    for b in batches:
+        lr = b["lr"].astype(np.float32) / 255.0
+        gt = b["gt"].astype(np.float32) / 255.0
+        d = np.asarray(downsample(jnp.asarray(gt), scale=4))  # [B,1,8,8,3]
+        # interior: reflect-pad edge effects reach 2 LR px into the patch
+        err = np.abs(d[:, 0, 2:-2, 2:-2] - lr[:, 1, 2:-2, 2:-2]).max()
+        assert err < 0.012, f"LR/GT misaligned: {err}"
+
+
+def test_sample_flip_crop_geometry(rng):
+    from pfnl_tpu.data.pipeline import sample_flip_crop
+
+    saw_flip = False
+    for _ in range(50):
+        y0, x0, gy, gx, fy, fx, ftr = sample_flip_crop(rng, 12, 12, 8, 4)
+        assert 0 <= gy and gy + 32 <= 48 and 0 <= gx and gx + 32 <= 48
+        assert gy == y0 * 4 - (3 if fy else 0)
+        assert gx == x0 * 4 - (3 if fx else 0)
+        saw_flip |= bool(fy or fx)
+    assert saw_flip
+    # no margin for the shift -> flips along that axis are disabled
+    for _ in range(20):
+        y0, x0, gy, gx, fy, fx, ftr = sample_flip_crop(rng, 8, 12, 8, 4)
+        assert not fy and y0 == 0
 
 
 def test_device_augment_and_degrade_single(dataset):
