@@ -10,9 +10,13 @@ Backbone structure (model/nets.py): dense blocks
 (BN-relu-1x1x1 -> BN-relu-3x3x3, concat growth) with the last 3 blocks
 using temporally-VALID 3x3x3 convs that shrink T 7->1.  BatchNorm is the
 reference's hand-rolled moving-average BN (utils.py:251-278) with
-moving_variance initialized to 0 (quirk preserved; the TF zero_debias
-correction is intentionally simplified to a standard EMA — flagged
-deviation, irrelevant when training from scratch).
+moving_variance initialized to 0 (quirk preserved) and the TF
+zero_debias bias correction (assign_moving_average(..., zero_debias=
+True)): the stored moving stat is the biased EMA divided by
+(1 - decay^t), so it tracks the batch statistics almost immediately.
+Without it, eval stats sit at (1 - 0.999^t) of their true magnitude
+for thousands of steps, and the ~40 stacked rsqrt amplifications made
+early DUF evals astronomically wrong (measured -126 dB at step 250).
 
 TPU notes: 3-D convs lower to XLA ConvGeneral in NDHWC; `is_train` is a
 static Python bool so train/eval trace separately (the reference used a
@@ -98,6 +102,14 @@ class RefBatchNorm(nn.Module):
     """Hand-rolled moving-average BN (reference utils.py:251-278).
     eps=1e-3; moving_variance init 0 (reference quirk, utils.py:267).
 
+    Moving stats use TF's zero_debias correction (assign_moving_average
+    with zero_debias=True): a biased EMA accumulator plus a step count,
+    with the READ value biased/(1 - decay^t).  After a single update the
+    moving stat already equals the batch stat (TF-oracle-verified; a
+    plain EMA from 0 would be 1000x smaller at decay=0.999).  At t=0 the
+    read is exactly 0 — the reference's step-0 eval explosion is real
+    parity, not a bug here.
+
     Stats and the affine run in f32; the output is cast back to the
     input dtype so a bf16 activation stream stays bf16 (XLA fuses the
     widen/narrow into the neighbouring conv)."""
@@ -113,6 +125,14 @@ class RefBatchNorm(nn.Module):
             "batch_stats", "moving_mean", jnp.zeros, fdim)
         self.mov_var = self.variable(
             "batch_stats", "moving_variance", jnp.zeros, fdim)
+        # zero_debias shadow state (TF moving_averages.py: `biased` and
+        # `local_step` sub-variables next to each moving average)
+        self.biased_mean = self.variable(
+            "batch_stats", "biased_mean", jnp.zeros, fdim)
+        self.biased_var = self.variable(
+            "batch_stats", "biased_var", jnp.zeros, fdim)
+        self.local_step = self.variable(
+            "batch_stats", "local_step", jnp.zeros, ())
 
     def __call__(self, x, is_train: bool):
         assert x.shape[-1] == self.features
@@ -123,8 +143,15 @@ class RefBatchNorm(nn.Module):
             var = jnp.var(xf, axes)
             if not self.is_initializing():
                 d = self.decay
-                self.mov_mean.value = self.mov_mean.value * d + mean * (1 - d)
-                self.mov_var.value = self.mov_var.value * d + var * (1 - d)
+                self.biased_mean.value = (
+                    self.biased_mean.value * d + mean * (1 - d))
+                self.biased_var.value = (
+                    self.biased_var.value * d + var * (1 - d))
+                t = self.local_step.value + 1.0
+                self.local_step.value = t
+                debias = 1.0 - jnp.power(d, t)
+                self.mov_mean.value = self.biased_mean.value / debias
+                self.mov_var.value = self.biased_var.value / debias
         else:
             mean, var = self.mov_mean.value, self.mov_var.value
         inv = lax.rsqrt(var + 1e-3)

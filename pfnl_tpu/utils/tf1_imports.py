@@ -193,9 +193,17 @@ def import_duf_tf1(prefix_or_dict, layers: int = 52) -> Tuple[Dict, Dict]:
         return {"W": get(f"G/{name}/W"), "b": get(f"G/{name}/b")}
 
     def bn(name):
+        # TF checkpoints store the zero_debias shadows as
+        # <name>/moving_*/biased and /local_step sub-variables; restored
+        # checkpoints are long past warm-up, so synthesize
+        # biased == moving (debias factor ~= 1 at large t) rather than
+        # requiring the shadows to be present in every export.
+        mm = get(f"G/{name}/moving_mean")
+        mv = get(f"G/{name}/moving_variance")
         return ({"beta": get(f"G/{name}/beta"), "gamma": get(f"G/{name}/gamma")},
-                {"moving_mean": get(f"G/{name}/moving_mean"),
-                 "moving_variance": get(f"G/{name}/moving_variance")})
+                {"moving_mean": mm, "moving_variance": mv,
+                 "biased_mean": mm.copy(), "biased_var": mv.copy(),
+                 "local_step": np.asarray(1e7, np.float32)})
 
     g: Dict = {"conv1": c3d("conv1")}
     gb: Dict = {}
@@ -216,7 +224,22 @@ def import_duf_hdf5(params, batch_stats, h5_path: str, verbose=True):
 
     params = load_hdf5_params(params, h5_path, verbose=verbose)
     batch_stats = load_hdf5_params(batch_stats, h5_path, verbose=verbose)
-    return params, batch_stats
+
+    # Imported checkpoints are long past BN warm-up: seed the zero_debias
+    # shadows (biased accumulator == already-debiased moving stat, large
+    # step) so continued training doesn't re-debias from zero.
+    def _seed(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if "moving_mean" in tree:
+            out = dict(tree)
+            out["biased_mean"] = tree["moving_mean"]
+            out["biased_var"] = tree["moving_variance"]
+            out["local_step"] = np.asarray(1e7, np.float32)
+            return out
+        return {k: _seed(v) for k, v in tree.items()}
+
+    return params, _seed(batch_stats)
 
 
 # model -> (importer, kwargs-from-config, returns_batch_stats)

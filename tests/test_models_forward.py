@@ -110,6 +110,41 @@ def test_duf_forward(layers):
     assert np.all(np.asarray(leaf) == 0)
 
 
+def test_refbatchnorm_zero_debias():
+    """TF assign_moving_average(zero_debias=True) semantics
+    (reference utils.py:269-276): the read moving stat is the biased EMA
+    divided by (1 - decay^t), so a constant batch stream makes
+    moving == batch stat EXACTLY after one update (TF-oracle: a plain
+    EMA from 0 would read 1000x smaller at decay=0.999)."""
+    from pfnl_tpu.models.duf import RefBatchNorm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(2.0, 3.0, (4, 8, 8, 5)), jnp.float32)
+    bn = RefBatchNorm(features=5)
+    variables = bn.init(jax.random.PRNGKey(0), x, is_train=True)
+    # init: everything zero (moving_variance=0 quirk preserved)
+    assert all(np.all(np.asarray(v) == 0)
+               for v in jax.tree.leaves(variables["batch_stats"]))
+
+    batch_mean = np.mean(np.asarray(x, np.float64), (0, 1, 2))
+    batch_var = np.var(np.asarray(x, np.float64), (0, 1, 2))
+    for t in (1, 2, 3):  # constant stream: moving == batch stat each step
+        _, mut = bn.apply(variables, x, is_train=True,
+                          mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mut}
+        st = mut["batch_stats"]
+        np.testing.assert_allclose(np.asarray(st["moving_mean"]),
+                                   batch_mean, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(st["moving_variance"]),
+                                   batch_var, rtol=1e-4)
+        assert float(st["local_step"]) == t
+    # eval now uses the (immediately-converged) moving stats
+    y = bn.apply(variables, x, is_train=False)
+    ref = (np.asarray(x, np.float64) - batch_mean) / np.sqrt(
+        batch_var + 1e-3)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+
 def test_pfnl_head_blockdiag_matches_per_frame():
     """conv0-as-block-diagonal-conv head == per-frame shared conv0 on the
     same params (the variant keeps the MXU at 448 lanes; see
