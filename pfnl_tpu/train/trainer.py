@@ -242,8 +242,17 @@ class Trainer:
     ) -> TrainState:
         """`mesh`: a jax.sharding.Mesh for multi-chip training — params
         replicated, batch sharded over the 'data' axis; XLA inserts the
-        gradient all-reduce from the shardings (SURVEY.md §5.8)."""
+        gradient all-reduce from the shardings (SURVEY.md §5.8).  When
+        the mesh spans processes (multi-host/multi-slice), `pipeline`
+        must produce the PER-PROCESS batch (global/process_count) with a
+        process-distinct seed; each process feeds only its local shard
+        (jax.make_array_from_process_local_data) and checkpoints/eval/
+        logging run on process 0 only."""
         cfg = self.cfg
+        main = jax.process_index() == 0
+        if not main:
+            eval_fn = None
+            print_fn = lambda *a, **k: None  # noqa: E731
         if state is None:
             batch0 = pipeline.get_batch()
             lr0, _ = device_augment_and_degrade(
@@ -253,9 +262,9 @@ class Trainer:
             if cfg.reload:
                 state = self.restore(state)
         if mesh is not None:
-            from pfnl_tpu.parallel.mesh import replicate
+            from pfnl_tpu.parallel import multihost
 
-            state = replicate(state, mesh)
+            state = multihost.replicate(jax.device_get(state), mesh)
         max_steps = max_steps or cfg.max_step
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)
@@ -293,7 +302,7 @@ class Trainer:
                     f" loss:{float(last_losses['loss'])}"
                 )
             if step % save_every == 0:
-                if step > start:
+                if step > start and main:
                     self.save(state)
                 if eval_fn is not None:
                     eval_fn(state, step)
@@ -301,9 +310,7 @@ class Trainer:
                 t0 = time.time()
             batch = pipeline.get_batch()
             if mesh is not None:
-                from pfnl_tpu.parallel.mesh import shard_batch
-
-                batch = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+                batch = multihost.host_local_batch(batch, mesh)
             key = jax.random.fold_in(base_key, step)
             state, last_losses = self.step_fn(stage)(state, batch, key)
         if not collapsed:

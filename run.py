@@ -58,6 +58,13 @@ def _cfg_from_args(args, **extra):
 
 
 def cmd_train(args):
+    # distributed bring-up must precede every other jax call (backend
+    # init); no-op for single-process runs
+    from pfnl_tpu.parallel import multihost
+
+    multihost.initialize(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
     _apply_precision(args)
     import jax
     from pfnl_tpu.data.manifest import load_manifest
@@ -73,9 +80,14 @@ def cmd_train(args):
     cfg = _cfg_from_args(args, **over)
     tr = Trainer(cfg)
     seqs = load_manifest(cfg.train_list, cfg.scale, need_blur=cfg.producer != "single")
+    # multi-process: this host's pipeline renders only its local shard of
+    # the global batch, with a process-distinct sampling stream (SURVEY
+    # §5.8 host-local loading)
+    local_bs = multihost.local_batch_size(cfg.batch_size)
     pipe = TrainPipeline(
         seqs, cfg.producer, cfg.num_frames, cfg.in_size, cfg.scale,
-        cfg.batch_size, seed=cfg.seed, num_threads=cfg.host_threads,
+        local_bs, seed=cfg.seed + 7919 * jax.process_index(),
+        num_threads=cfg.host_threads,
         prefetch=cfg.prefetch,
     )
     eval_fn = None
@@ -89,12 +101,13 @@ def cmd_train(args):
             ev.run(variables, step, log_path=cfg.log_path)
 
     mesh = None
-    if args.dp > 1 or args.sp > 1:
-        from pfnl_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=args.dp, n_space=args.sp)
-        if cfg.batch_size % args.dp:
-            raise SystemExit(f"batch {cfg.batch_size} not divisible by dp={args.dp}")
+    if args.dp > 1 or args.sp > 1 or jax.process_count() > 1:
+        mesh = multihost.make_dp_mesh(
+            n_data=args.dp if args.dp > 1 else None, n_space=args.sp)
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data:
+            raise SystemExit(
+                f"batch {cfg.batch_size} not divisible by dp={n_data}")
     tr.fit(pipe, max_steps=args.steps, eval_fn=eval_fn,
            save_every=args.save_every, mesh=mesh)
     pipe.close()
@@ -267,6 +280,11 @@ def main(argv=None):
                    help="data-parallel mesh size (batch axis)")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial mesh size (non-local context parallelism)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address "
+                        "(host:port) for multi-host/multi-slice runs")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval")

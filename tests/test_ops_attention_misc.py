@@ -1,6 +1,7 @@
 """Tests for non-local attention variants, dynfilter, convlstm, losses."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,8 @@ from pfnl_tpu.ops.nonlocal_attn import nonlocal_attention, nonlocal_attention_ch
 from pfnl_tpu.ops.dynfilter import dyn_filter_3d
 from pfnl_tpu.ops.convlstm import ConvLSTMCell
 from pfnl_tpu.ops.losses import charbonnier, huber, total_variation
+
+pytestmark = pytest.mark.quick
 
 
 def _np_reference_nonlocal(theta, phi, g, mode="softmax"):

@@ -1,6 +1,7 @@
 """Golden tests for color conversions and pixel-shuffle layouts."""
 
 import numpy as np
+import pytest
 
 from pfnl_tpu.ops.color import rgb2y, rgb2ycbcr, ycbcr2rgb, rgb2gray, rgb2ycbcr_np
 from pfnl_tpu.ops.shuffle import (
@@ -10,6 +11,8 @@ from pfnl_tpu.ops.shuffle import (
     pixel_shuffle_legacy,
     zero_upsampling,
 )
+
+pytestmark = pytest.mark.quick
 
 
 def test_rgb2y_constants(rng):

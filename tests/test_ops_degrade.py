@@ -7,6 +7,8 @@ import pytest
 
 from pfnl_tpu.ops.degrade import gaussian_kernel_2d, BLUR_KERNEL, downsample, downsample_4d
 
+pytestmark = pytest.mark.quick
+
 
 def test_gkern_matches_scipy():
     import scipy.ndimage as ndi

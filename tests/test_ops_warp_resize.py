@@ -6,6 +6,8 @@ import pytest
 from pfnl_tpu.ops.warp import backward_warp, forward_warp
 from pfnl_tpu.ops.resize import resize_bilinear, resize_bicubic, resize_images
 
+pytestmark = pytest.mark.quick
+
 
 def _np_backward_warp(im, uv):
     """Literal numpy transcription of imwarp_backward
@@ -217,6 +219,7 @@ def test_forward_warp_local_spmc(rng):
         np.asarray(forward_warp(im, uv, (36, 52))), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_forward_warp_spmc_kernel_matches_segment(rng):
     """Pallas phase-splat (forward_warp_spmc) == segment-sum splat for
     bounded flows, including values at the |uv|<=2 bound and border
@@ -236,6 +239,7 @@ def test_forward_warp_spmc_kernel_matches_segment(rng):
     np.testing.assert_allclose(got5[0], ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_forward_warp_spmc_gradients_match_segment(rng):
     """The analytic gather adjoint == segment_sum's autodiff adjoint for
     both the image and the flow."""

@@ -13,6 +13,8 @@ from pfnl_tpu.ops.packed_conv import (conv_down2_packed, conv_s1_packed,
                                       conv_up2_packed)
 from pfnl_tpu.ops.shuffle import depth_to_space, space_to_depth
 
+pytestmark = pytest.mark.quick
+
 
 def _rand(rng, *shape):
     return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
@@ -106,6 +108,7 @@ def test_drvsr_step_packed_matches_plain():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_frvsr_tail_packed_matches_plain():
     from pfnl_tpu.models.frvsr import FRVSR
 
@@ -125,6 +128,7 @@ def test_frvsr_tail_packed_matches_plain():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_drvsr_model_packed_matches_plain():
     from pfnl_tpu.models.drvsr import DRVSR
 
@@ -201,6 +205,7 @@ def test_mcresnet_trunk_packed_matches_plain():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_mcresnet_packed_grads_match():
     from pfnl_tpu.models.mcresnet import MCResNet
 

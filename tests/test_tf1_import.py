@@ -1,20 +1,34 @@
 """TF-free TF1 checkpoint reader + PFNL importer, validated against a real
 TF-written TensorBundle and the numpy model oracle."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
-tf = pytest.importorskip("tensorflow")
+from test_golden_models import pfnl_oracle
 
-from test_golden_models import pfnl_oracle  # noqa: E402
+pytestmark = pytest.mark.tf
+
+_HELPER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tf_write_ckpt.py")
 
 
 def _write_ckpt(prefix, arrays):
-    v1 = tf.compat.v1
-    var_list = {name: tf.Variable(val, name=name.replace("/", "_"))
-                for name, val in arrays.items()}
-    saver = v1.train.Saver(var_list=var_list)
-    saver.save(None, prefix, write_meta_graph=False, write_state=False)
+    """Write a TF1 TensorBundle via a SUBPROCESS (tf_write_ckpt.py):
+    TF+JAX+torch in one process segfault on long runs, so TF never
+    loads into the pytest process."""
+    npz = prefix + ".vars.npz"
+    np.savez(npz, **arrays)
+    proc = subprocess.run(
+        [sys.executable, _HELPER, npz, prefix],
+        capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        if "No module named" in proc.stderr:
+            pytest.skip("tensorflow unavailable")
+        raise RuntimeError(f"tf_write_ckpt failed:\n{proc.stderr[-3000:]}")
 
 
 def test_reader_roundtrip(tmp_path):

@@ -9,12 +9,12 @@ Reference variable naming cited in pfnl_tpu/utils/tf1_imports.py.
 import numpy as np
 import pytest
 
-tf = pytest.importorskip("tensorflow")
+import jax
+import jax.numpy as jnp
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+from test_tf1_import import _write_ckpt
 
-from test_tf1_import import _write_ckpt  # noqa: E402
+pytestmark = pytest.mark.tf
 from test_golden_models import (  # noqa: E402
     drvsr_oracle, duf_oracle, frvsr_first_step_oracle, ltdvsr_oracle,
     mcresnet_oracle, vespcn_oracle,
