@@ -2,12 +2,14 @@
 LR -> 720p, bf16): the fused dense backbone took the family 5.5 -> 17.5
 fps; where do the remaining ~57 ms/frame go?
 
-Stages (scan-chained, relay-aware):
-  A  conv1 (1x3x3 3->64)
-  B  fused dense backbone (21 thw + 3 hw blocks, Pallas)
-  C  head: fbn1 + conv2 + r/f towers + softmax(25)
-  D  dyn_filter x3 + d2s + residual add
-  E  full model forward
+Probes (scan-chained, relay-aware):
+  A   conv1 alone (1x3x3 3->64)
+  BC  FRNet forward = conv1 + fused dense backbone + head
+  C   head alone (fbn1 + conv2 + r/f towers + softmax25), driven by a
+      random backbone-shaped activation (content-independent timing)
+  D   dyn_filter x3 + d2s + residual add
+  E   full model forward
+The backbone-only time is inferred: B = BC - A - C.
 
 Run from /root/repo:  python scripts/duf_stage_bench.py
 """
@@ -23,10 +25,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 from jax import lax
+import flax.linen as nn
 
-from pfnl_tpu.models.duf import DUF, FRNet
+from pfnl_tpu.models.duf import DUF, FRNet, Conv3D, RefBatchNorm
 from pfnl_tpu.ops.dynfilter import dyn_filter_3d
 from pfnl_tpu.ops.shuffle import depth_to_space, depth_to_space_3d
+
+
+class HeadProbe(nn.Module):
+    """FRNet head (models/duf.py:228-240) as a standalone module; param
+    names match the FRNet tree so the real variables bind directly."""
+
+    @nn.compact
+    def __call__(self, xb):
+        r2 = 16
+        x = nn.relu(RefBatchNorm(features=448, name="fbn1")(xb, False))
+        x = nn.relu(Conv3D(256, (1, 3, 3), in_features=448, pad="hw",
+                           name="conv2")(x))
+        r = nn.relu(Conv3D(256, (1, 1, 1), in_features=256, name="rconv1")(x))
+        r = Conv3D(3 * r2, (1, 1, 1), in_features=256, name="rconv2")(r)
+        f = nn.relu(Conv3D(512, (1, 1, 1), in_features=256, name="fconv1")(x))
+        f = Conv3D(25 * r2, (1, 1, 1), in_features=512, name="fconv2")(f)
+        b, t_out, h, w, _ = f.shape
+        f = f.reshape(b, t_out, h, w, 25, r2)
+        f = nn.softmax(f.astype(jnp.float32), axis=4)
+        return f, r
 
 
 def timeit(fn, *args, steps=5):
@@ -80,6 +103,28 @@ def main(batch=1, t=7, h=180, w=320, dtype=jnp.bfloat16):
     fx, rx = jax.jit(lambda x: frnet.apply(gvars, x, is_train=False))(x)
     x32 = x.astype(jnp.float32)
 
+    # A: conv1 alone, bound to the real weights
+    conv1 = Conv3D(64, (1, 3, 3), in_features=3, pad="hw", name="conv1")
+    c1v = {"params": {"conv1": variables["params"]["G"]["conv1"]}}
+
+    def stage_a(x, cc):
+        return conv1.apply(
+            {"params": c1v["params"]["conv1"]},
+            x + cc.astype(dtype) * 1e-12).sum()
+
+    # C: head alone on a random backbone-shaped activation [B,1,H,W,448]
+    head = HeadProbe()
+    hp = {k: variables["params"]["G"][k]
+          for k in ("fbn1", "conv2", "rconv1", "rconv2", "fconv1", "fconv2")
+          if k in variables["params"]["G"]}
+    hb = {"fbn1": variables["batch_stats"]["G"]["fbn1"]}
+    xb = jnp.asarray(rng.random((n, 1, h, w, 448), np.float32), dtype)
+
+    def stage_c(xb, cc):
+        f, r = head.apply({"params": hp, "batch_stats": hb},
+                          xb + cc.astype(dtype) * 1e-12)
+        return f.sum() + r.sum()
+
     def stage_d(x32, fx, rx, cc):
         chans = []
         for c in range(3):
@@ -89,13 +134,21 @@ def main(batch=1, t=7, h=180, w=320, dtype=jnp.bfloat16):
         sr = jnp.concatenate(chans, axis=3)[:, None]
         return sr + depth_to_space_3d(rx.astype(jnp.float32), s)
 
+    res = {}
     for name, fn, args in [
-        ("B+C backbone+head", stage_bc, (x,)),
+        ("A conv1", stage_a, (x,)),
+        ("BC frnet fwd", stage_bc, (x,)),
+        ("C head only", stage_c, (xb,)),
         ("D dynfilter+d2s", stage_d, (x32, fx, rx)),
         ("E full forward", stage_e, (x,)),
     ]:
         dt = timeit(fn, *args)
+        res[name.split()[0]] = dt
         print(f"{name:20s} {dt*1e3:8.2f} ms")
+    print(f"{'B backbone (BC-A-C)':20s} "
+          f"{(res['BC'] - res['A'] - res['C'])*1e3:8.2f} ms")
+    print(f"{'E-BC-D (glue)':20s} "
+          f"{(res['E'] - res['BC'] - res['D'])*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
