@@ -728,12 +728,15 @@ def test_duf_golden_numpy():
     for r in range(6):
         for suffix, bn in (("a", p[f"bn{r}a"]), ("b", p[f"bn{r}b"])):
             params[f"Rbn{r + 1}{suffix}"] = {"beta": bn[0], "gamma": bn[1]}
-            stats[f"Rbn{r + 1}{suffix}"] = {"moving_mean": bn[2],
-                                            "moving_variance": bn[3]}
+            # keep the init-created zero_debias shadows (eval ignores them)
+            stats[f"Rbn{r + 1}{suffix}"] = dict(
+                stats[f"Rbn{r + 1}{suffix}"],
+                moving_mean=bn[2], moving_variance=bn[3])
         params[f"Rconv{r + 1}a"] = {"W": p[f"ak{r}"], "b": p[f"ab{r}"]}
         params[f"Rconv{r + 1}b"] = {"W": p[f"bk{r}"], "b": p[f"bb{r}"]}
     params["fbn1"] = {"beta": p["fbn1"][0], "gamma": p["fbn1"][1]}
-    stats["fbn1"] = {"moving_mean": p["fbn1"][2], "moving_variance": p["fbn1"][3]}
+    stats["fbn1"] = dict(stats["fbn1"], moving_mean=p["fbn1"][2],
+                         moving_variance=p["fbn1"][3])
     params["conv2"] = {"W": p["c2k"], "b": p["c2b"]}
     params["rconv1"] = {"W": p["r1k"], "b": p["r1b"]}
     params["rconv2"] = {"W": p["r2k"], "b": p["r2b"]}
