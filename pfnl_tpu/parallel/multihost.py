@@ -82,13 +82,19 @@ def process_major_devices():
 
 def make_dp_mesh(n_data: Optional[int] = None, n_space: int = 1) -> Mesh:
     """(data, space) mesh over ALL processes' devices, process-major."""
+    from pfnl_tpu.parallel.mesh import make_mesh
+
     devices = process_major_devices()
     if n_data is None:
         n_data = len(devices) // n_space
-    assert n_data * n_space <= len(devices), (
-        f"need {n_data}x{n_space} devices, have {len(devices)}")
-    arr = np.array(devices[: n_data * n_space]).reshape(n_data, n_space)
-    return Mesh(arr, ("data", "space"))
+    if jax.process_count() > 1 and n_data * n_space != len(devices):
+        # a partial mesh would leave some processes with zero addressable
+        # devices — every collective/shard build would then fail obscurely
+        raise ValueError(
+            f"multi-process runs must use every device: mesh "
+            f"{n_data}x{n_space} != {len(devices)} devices across "
+            f"{jax.process_count()} processes")
+    return make_mesh(n_data=n_data, n_space=n_space, devices=devices)
 
 
 def host_local_batch(batch, mesh: Mesh):
@@ -104,10 +110,25 @@ def host_local_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def broadcast_from_main(tree):
+    """Make every process hold process 0's copy of a host pytree.
+    Used after checkpoint restore: only process 0 saves, so on resume
+    the other processes would otherwise keep their (divergent) init
+    state and step count — make_array_from_process_local_data does NOT
+    validate cross-process consistency."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return jax.device_get(multihost_utils.broadcast_one_to_all(tree))
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate host-identical values over every device of the
     mesh; safe when the mesh spans processes (device_put to
-    non-addressable devices is not)."""
+    non-addressable devices is not).  NOTE: assumes every process passes
+    the SAME host values — after a restore, run broadcast_from_main
+    first (Trainer.fit does)."""
     sharding = NamedSharding(mesh, P())
 
     def put(x):

@@ -223,10 +223,43 @@ class Trainer:
         latest = self.ckpt_mgr.latest_step()
         if latest is None:
             return state
-        restored = self.ckpt_mgr.restore(
-            latest, args=ocp.args.StandardRestore(jax.device_get(state))
-        )
+        template = jax.device_get(state)
+        try:
+            restored = self.ckpt_mgr.restore(
+                latest, args=ocp.args.StandardRestore(template)
+            )
+        except (ValueError, KeyError):
+            if not self.has_bn:
+                raise
+            restored = self._restore_legacy_bn(latest, template)
         return jax.tree.map(jnp.asarray, restored)
+
+    def _restore_legacy_bn(self, latest: int, template):
+        """DUF checkpoints written before the zero_debias shadow stats
+        (biased_mean/biased_var/local_step) lack those leaves; restore
+        against a shadow-free template and seed the shadows like the
+        TF1 importer (checkpoint is past BN warm-up)."""
+        _SHADOW = ("biased_mean", "biased_var", "local_step")
+
+        def strip(tree):
+            if not isinstance(tree, dict):
+                return tree
+            return {k: strip(v) for k, v in tree.items() if k not in _SHADOW}
+
+        def seed(tree):
+            if not isinstance(tree, dict):
+                return tree
+            if "moving_mean" in tree:
+                return dict(tree,
+                            biased_mean=tree["moving_mean"],
+                            biased_var=tree["moving_variance"],
+                            local_step=np.asarray(1e7, np.float32))
+            return {k: seed(v) for k, v in tree.items()}
+
+        legacy = template.replace(batch_stats=strip(template.batch_stats))
+        restored = self.ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(legacy))
+        return restored.replace(batch_stats=seed(restored.batch_stats))
 
     # --- loop -----------------------------------------------------------
     def fit(
@@ -264,7 +297,11 @@ class Trainer:
         if mesh is not None:
             from pfnl_tpu.parallel import multihost
 
-            state = multihost.replicate(jax.device_get(state), mesh)
+            # multi-process resume: only process 0 saves checkpoints, so
+            # after restore the other processes hold divergent init state
+            # (and step counts) — replicate process 0's copy everywhere
+            state = multihost.replicate(
+                multihost.broadcast_from_main(jax.device_get(state)), mesh)
         max_steps = max_steps or cfg.max_step
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start = int(state.step)

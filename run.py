@@ -93,11 +93,18 @@ def cmd_train(args):
     eval_fn = None
     if not args.no_eval:
         ev = Evaluator(cfg, tr.model)
+        multi = jax.process_count() > 1
 
         def eval_fn(state, step):
             variables = {"params": state.params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
+            if multi:
+                # the state lives on a mesh spanning non-addressable
+                # devices; the evaluator's jit runs single-controller on
+                # THIS process — hand it host copies (params are fully
+                # replicated, so device_get is complete per-process)
+                variables = jax.device_get(variables)
             ev.run(variables, step, log_path=cfg.log_path)
 
     mesh = None

@@ -45,4 +45,7 @@ def main(log_path: str, out: str = "BENCH_MATRIX.json"):
 
 
 if __name__ == "__main__":
+    if not 2 <= len(sys.argv) <= 3:
+        raise SystemExit(
+            "usage: bench_matrix.py <bench_all.log> [out.json]")
     main(*sys.argv[1:])

@@ -65,6 +65,8 @@ def run_variant(name, model, train_list, val_list, train_eval_list, steps,
 
     state = None
     if zero_flow:
+        assert model in ("vespcn", "ltdvsr", "mcresnet", "drvsr"), (
+            f"zero-flow ablation needs an easyflow family, not {model!r}")
         batch0 = pipe.get_batch()
         lr0, _ = device_augment_and_degrade(
             jax.tree.map(jnp.asarray, batch0), jax.random.PRNGKey(0),
@@ -85,6 +87,8 @@ def run_variant(name, model, train_list, val_list, train_eval_list, steps,
 
     def eval_fn(st, step):
         variables = {"params": st.params}
+        if st.batch_stats is not None:
+            variables["batch_stats"] = st.batch_stats
         pv, _ = ev_val.run(variables, step, print_fn=lambda *a: None)[:2]
         pt, _ = ev_tr.run(variables, step, print_fn=lambda *a: None)[:2]
         curves["val"].append((step, float(np.mean(pv))))

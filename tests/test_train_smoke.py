@@ -184,3 +184,42 @@ def test_checkpoint_resume_roundtrip(dataset, tmp_path):
     assert int(state2.step) == int(state.step) == 1
     for a, c in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_duf_legacy_checkpoint_restore(tmp_path):
+    """DUF checkpoints saved BEFORE the zero_debias shadow stats existed
+    (pre-r5) restore via the legacy shim: shadow-free tree -> shadows
+    seeded from the moving stats (trainer._restore_legacy_bn)."""
+    from pfnl_tpu.models import DUF
+
+    cfg = preset("duf", in_size=8, batch_size=1, num_frames=7,
+                 save_dir=str(tmp_path / "ck"), reload=False)
+    model = DUF(num_frames=7, layers=16)
+    tr = Trainer(cfg, workdir=str(tmp_path / "ck"), model=model)
+    lr = np.random.default_rng(0).random((1, 7, 8, 8, 3)).astype(np.float32)
+    state = tr.init_state(jax.random.PRNGKey(0), lr)
+
+    # write an OLD-LAYOUT checkpoint: state without the shadow leaves
+    def strip(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {k: strip(v) for k, v in tree.items()
+                if k not in ("biased_mean", "biased_var", "local_step")}
+
+    mv = jax.tree.map(lambda a: np.full_like(np.asarray(a), 0.25),
+                      strip(jax.device_get(state.batch_stats)))
+    import orbax.checkpoint as ocp
+
+    legacy = jax.device_get(state).replace(
+        batch_stats=mv, step=np.asarray(7, np.int32))
+    tr.ckpt_mgr.save(7, args=ocp.args.StandardSave(legacy))
+    tr.ckpt_mgr.wait_until_finished()
+
+    restored = tr.restore(state)
+    assert int(restored.step) == 7
+    bs = jax.device_get(restored.batch_stats)
+    leaf = bs["G"]["fbn1"]
+    np.testing.assert_array_equal(np.asarray(leaf["moving_variance"]), 0.25)
+    # shadows seeded from the (already-debiased) moving stats
+    np.testing.assert_array_equal(np.asarray(leaf["biased_var"]), 0.25)
+    assert float(leaf["local_step"]) > 1e6
