@@ -8,16 +8,16 @@ BN/1x1x1-conv fusions 108 ms, vs 32 ms of actual 3x3x3 conv kernels.
 Every op pays relayout/copy costs because the growing channel count
 (64+16r) is never lane-aligned.  This kernel removes ALL of it:
 
-  * one zero-initialized HBM buffer `xbuf` [B, T+2, Hp, Wp, C] holds the
-    growing concat with T/H/W zero padding built in; C = the FINAL
-    channel count rounded to 128 lanes, so every DMA is tile-aligned;
-  * per block, each input t-plane is DMA'd once per row tile (128-lane
-    aligned slice 0:Fc), the pointwise chain (BN-a, relu, 1x1x1 conv,
-    BN-b folded with the conv bias, relu) runs in VMEM, and the 3x3x3
-    growth conv uses the tap-packed dot of ops/pallas/duf_dense.py
-    (temporal taps = 3 accumulated dots, spatial taps = output columns,
-    N = 9G lanes, zero structural-zero FLOPs) with dh/dw reduced
-    in-kernel (the row tile carries a 1-row halo);
+  * one zero-initialized HBM buffer `xbuf` [B, T+2, C/128, Hp, Wp, 128]
+    holds the growing concat lane-GROUP-major with T/H/W zero padding
+    built in — every DMA (x reads of the first Fc lanes, the 128-lane
+    RMW append) is a contiguous block at full bandwidth;
+  * per block, each input t-plane is DMA'd once per row tile, the
+    pointwise chain (BN-a, relu, 1x1x1 conv, BN-b folded with the conv
+    bias, relu) runs in VMEM, and the 3x3x3 growth conv is ONE
+    tap-fused [lp,F]x[F,27G] dot per a-plane (dt-major slices scattered
+    into a 3-slot f32 accumulator ring; spatial taps reduced in-kernel
+    via the 1-row halo);
   * the G new channels are appended by a read-modify-write of the single
     128-lane group containing lanes [F, F+G) — no concat ever happens;
   * the temporally-VALID tail blocks (T shrinking 7->1, nets.py:129) are
@@ -53,14 +53,15 @@ class BlockParams(NamedTuple):
     mode: str       # "thw" (SAME-T) | "hw" (VALID-T)
 
 
-def _kernel(x_hbm, sa, oa, wa, sb, ob, wbp, bb, out_hbm,
-            xslots, aslots, rmw, x_sems, rmw_sems,
-            *, rows, wp, w, h, f, fc, g, fa, loff, in_lo, in_hi,
+def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
+            xslots, aslots, rmw, zacc, x_sems, rmw_sems,
+            *, rows, wp, w, h, f, fc, g, gi, loff, in_lo, in_hi,
             out_lo, out_hi, dtype):
     b = pl.program_id(0)
     i = pl.program_id(1)
     row0 = i * rows
     lp = (rows + 2) * wp
+    ng = fc // 128
 
     # validity of the a-tile rows/cols (xbuf rows 1..h, cols 1..w hold
     # the image; everything else must stay exactly zero)
@@ -72,54 +73,70 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wbp, bb, out_hbm,
     planes = list(range(out_lo - 1, out_hi + 1))
 
     def dma(k):
+        # group-major xbuf: the first ng 128-lane group planes are
+        # CONTIGUOUS blocks — full-bandwidth DMA (a lane slice of a
+        # wide minor dim would run at 128/C efficiency)
         return pltpu.make_async_copy(
-            x_hbm.at[b, planes[k], pl.ds(row0, rows + 2), :, 0:fc],
-            xslots.at[k % 2],
+            x_hbm.at[b, planes[k], pl.ds(0, ng), pl.ds(row0, rows + 2), :, :],
+            xslots.at[k % 2, pl.ds(0, ng)],
             x_sems.at[k % 2],
         )
 
     def compute_a(k):
-        slot = k % 4
+        # single a-slot: the tap-fused scatter consumes each a-plane
+        # immediately (no 3-plane window of live a's anymore)
         p = planes[k]
         if p < in_lo or p >= in_hi:
             # pad plane: the reference zero-pads AFTER the pointwise
             # chain, so its a-values are exactly zero
-            aslots[slot] = jnp.zeros((lp, f), dtype)
+            aslots[0] = jnp.zeros((lp, f), dtype)
             return
         dma(k).wait()
-        xv = xslots[k % 2].astype(jnp.float32)
-        t0 = jnp.maximum(xv * sa[0].reshape(1, 1, fc)
-                         + oa[0].reshape(1, 1, fc), 0.0)
-        t0 = jnp.where(valid, t0, 0.0).astype(dtype).reshape(lp, fc)
-        a1 = jax.lax.dot_general(
-            t0, wa[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_prec(dtype),
-        )
+        a1 = None
+        for gg in range(ng):
+            xv = xslots[k % 2, gg].astype(jnp.float32)
+            t0 = jnp.maximum(xv * sa[gg].reshape(1, 1, 128)
+                             + oa[gg].reshape(1, 1, 128), 0.0)
+            t0 = jnp.where(valid, t0, 0.0).astype(dtype).reshape(lp, 128)
+            d = jax.lax.dot_general(
+                t0, wa[gg], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_prec(dtype),
+            )
+            a1 = d if a1 is None else a1 + d
         a1 = jnp.maximum(a1 * sb[0].reshape(1, f) + ob[0].reshape(1, f), 0.0)
-        aslots[slot] = jnp.where(valid2, a1, 0.0).astype(dtype)
+        aslots[0] = jnp.where(valid2, a1, 0.0).astype(dtype)
 
     def rmw_copy(k, write: bool):
         slot = (k - 1) % 2
-        hbm = out_hbm.at[b, planes[k - 1], pl.ds(row0 + 1, rows), :,
-                         fa:fa + 128]
+        hbm = out_hbm.at[b, planes[k - 1], gi, pl.ds(row0 + 1, rows), :, :]
         if write:
             return pltpu.make_async_copy(rmw.at[slot], hbm,
                                          rmw_sems.at[slot])
         return pltpu.make_async_copy(hbm, rmw.at[slot], rmw_sems.at[slot])
 
+    def scatter_p(k):
+        """Tap-fused growth conv for a-plane k: ONE [lp,f]x[f,27g] dot
+        (N=27g=432 lanes vs 3 dots of 9g=144 — 144 pads to 2 lane
+        groups at 56% MXU efficiency, 432 to 4 at 84%), whose dt-major
+        slices are scattered into the 3-slot accumulator ring of the
+        output planes k+1 (first touch), k, k-1 (last touch):
+        plane p = sum_dt a[p-1+dt] . wb[dt]  <=>  a[q] contributes its
+        dt=0/1/2 slice to planes q+1, q, q-1."""
+        p9 = jax.lax.dot_general(
+            aslots[0], wcat[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(dtype),
+        )
+        zacc[(k + 1) % 3] = p9[:, : 9 * g]
+        zacc[k % 3] += p9[:, 9 * g: 18 * g]
+        if k >= 2:
+            zacc[(k - 1) % 3] += p9[:, 18 * g:]
+
     def emit(k):
-        """conv_b + append for out plane planes[k-1].  The RMW read was
-        started before compute_a(k); the write is waited two emits later
-        (slot ping-pong), overlapping both with compute."""
-        acc = None
-        for dt in range(3):
-            d = jax.lax.dot_general(
-                aslots[(k - 2 + dt) % 4], wbp[dt],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_prec(dtype),
-            )
-            acc = d if acc is None else acc + d
-        y3 = acc.reshape(rows + 2, wp, 9 * g)
+        """Finalize out plane planes[k-1] from its accumulator.  The RMW
+        read was started before compute_a(k); the write is waited two
+        emits later (slot ping-pong), overlapping both with compute."""
+        y3 = zacc[(k - 1) % 3].reshape(rows + 2, wp, 9 * g)
         z = None
         for dh in range(3):
             for dw in range(3):
@@ -151,6 +168,7 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wbp, bb, out_hbm,
                 rmw_copy(k - 2, write=True).wait()  # free this slot
             rmw_copy(k, write=False).start()
         compute_a(k)
+        scatter_p(k)
         if k >= 2:
             emit(k)
     # drain the last two appends before the grid step ends
@@ -161,41 +179,46 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wbp, bb, out_hbm,
 
 def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
                out_lo, out_hi):
-    nb, tp, hp, wp, c = xbuf.shape
+    nb, tp, ngb, hp, wp, _ = xbuf.shape
     dtype = xbuf.dtype
     f = p.wa.shape[0]
     g = p.wb.shape[-1]
     fc = _round_up(f, 128)
-    fa = (f // 128) * 128
-    loff = f - fa
+    ng = fc // 128
+    gi = f // 128           # 128-lane group receiving the appended G
+    loff = f - gi * 128
 
     pad_v = lambda v: jnp.pad(
-        v.astype(jnp.float32), (0, fc - f)).reshape(1, fc)
+        v.astype(jnp.float32), (0, fc - f)).reshape(ng, 128)
     sa, oa = pad_v(p.sa), pad_v(p.oa)
     sbv = p.sb.astype(jnp.float32).reshape(1, f)
     obv = p.ob.astype(jnp.float32).reshape(1, f)
-    wa = jnp.pad(p.wa.astype(dtype), ((0, fc - f), (0, 0)))
-    wbp = p.wb.astype(dtype).transpose(0, 3, 2, 1, 4).reshape(3, f, 9 * g)
+    wa = jnp.pad(p.wa.astype(dtype), ((0, fc - f), (0, 0))).reshape(
+        ng, 128, f)
+    # [dt, dh, dw, F, G] -> [F, dt, dw, dh, G] -> [f, 27g], dt major and
+    # (dw*3+dh)*g within each 9g slice (the layout emit's slicing expects)
+    wcat = p.wb.astype(dtype).transpose(3, 0, 2, 1, 4).reshape(f, 27 * g)
     bbv = p.bb.astype(jnp.float32).reshape(1, g)
 
     vec = lambda a: pl.BlockSpec(a.shape, lambda b, i: (0,) * a.ndim)
     return pl.pallas_call(
         functools.partial(
-            _kernel, rows=rows, wp=wp, w=w, h=h, f=f, fc=fc, g=g, fa=fa,
+            _kernel, rows=rows, wp=wp, w=w, h=h, f=f, fc=fc, g=g, gi=gi,
             loff=loff, in_lo=in_lo, in_hi=in_hi, out_lo=out_lo,
             out_hi=out_hi, dtype=dtype,
         ),
         grid=(nb, (hp - 2) // rows),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
-            vec(a) for a in (sa, oa, wa, sbv, obv, wbp, bbv)
+            vec(a) for a in (sa, oa, wa, sbv, obv, wcat, bbv)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(xbuf.shape, dtype),
         input_output_aliases={0: 0},
         scratch_shapes=[
-            pltpu.VMEM((2, rows + 2, wp, fc), dtype),           # xslots
-            pltpu.VMEM((4, (rows + 2) * wp, f), dtype),         # aslots
+            pltpu.VMEM((2, ng, rows + 2, wp, 128), dtype),      # xslots
+            pltpu.VMEM((1, (rows + 2) * wp, f), dtype),         # aslot
             pltpu.VMEM((2, rows, wp, 128), dtype),              # rmw
+            pltpu.VMEM((3, (rows + 2) * wp, 9 * g), jnp.float32),  # zacc
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -203,7 +226,7 @@ def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(xbuf, sa, oa, wa, sbv, obv, wbp, bbv)
+    )(xbuf, sa, oa, wa, sbv, obv, wcat, bbv)
 
 
 def dense_backbone_fused(x64, blocks: List[BlockParams]):
@@ -215,13 +238,20 @@ def dense_backbone_fused(x64, blocks: List[BlockParams]):
     g = blocks[0].wb.shape[-1]
     cfin = c0 + len(blocks) * g
     c = _round_up(cfin, 128)
-    rows = 16 if dtype == jnp.bfloat16 else 8
+    ngb = c // 128
+    rows = 24 if dtype == jnp.bfloat16 else 8
     rows = min(rows, _round_up(h, 2))
     hp = _round_up(h, rows) + 2
     wp = _round_up(w + 2, 8)
 
-    xbuf = jnp.zeros((nb, t + 2, hp, wp, c), dtype)
-    xbuf = jax.lax.dynamic_update_slice(xbuf, x64, (0, 1, 1, 1, 0))
+    # lane-GROUP-major buffer [B, T, C/128, H, W, 128]: every kernel DMA
+    # (x reads of the first fc lanes, the 128-lane RMW append) is then a
+    # CONTIGUOUS block.  With a flat C-minor buffer the RMW append
+    # touches 128 of C lanes -> 128/C DMA efficiency, which made the
+    # whole backbone append-bandwidth-bound.
+    xbuf = jnp.zeros((nb, t + 2, ngb, hp, wp, 128), dtype)
+    x0 = jnp.pad(x64, ((0, 0),) * 4 + ((0, 128 - c0),))[:, :, None]
+    xbuf = jax.lax.dynamic_update_slice(xbuf, x0, (0, 1, 0, 1, 1, 0))
 
     lo, hi = 1, t + 1
     for bp in blocks:
@@ -233,4 +263,7 @@ def dense_backbone_fused(x64, blocks: List[BlockParams]):
                           in_hi=hi, out_lo=out_lo, out_hi=out_hi)
         lo, hi = out_lo, out_hi
 
-    return xbuf[:, lo:hi, 1:h + 1, 1:w + 1, :cfin]
+    out = xbuf[:, lo:hi, :, 1:h + 1, 1:w + 1, :]
+    out = out.transpose(0, 1, 3, 4, 2, 5).reshape(
+        nb, hi - lo, h, w, ngb * 128)
+    return out[..., :cfin]
