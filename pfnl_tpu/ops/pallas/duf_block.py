@@ -78,8 +78,8 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
         # wide minor dim would run at 128/C efficiency)
         return pltpu.make_async_copy(
             x_hbm.at[b, planes[k], pl.ds(0, ng), pl.ds(row0, rows + 2), :, :],
-            xslots.at[k % 2, pl.ds(0, ng)],
-            x_sems.at[k % 2],
+            xslots.at[k % 3, pl.ds(0, ng)],
+            x_sems.at[k % 3],
         )
 
     def compute_a(k):
@@ -94,7 +94,7 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
         dma(k).wait()
         a1 = None
         for gg in range(ng):
-            xv = xslots[k % 2, gg].astype(jnp.float32)
+            xv = xslots[k % 3, gg].astype(jnp.float32)
             t0 = jnp.maximum(xv * sa[gg].reshape(1, 1, 128)
                              + oa[gg].reshape(1, 1, 128), 0.0)
             t0 = jnp.where(valid, t0, 0.0).astype(dtype).reshape(lp, 128)
@@ -106,9 +106,12 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
         a1 = jnp.maximum(a1 * sb[0].reshape(1, f) + ob[0].reshape(1, f), 0.0)
         aslots[0] = jnp.where(valid2, a1, 0.0).astype(dtype)
 
-    def rmw_copy(k, write: bool):
-        slot = (k - 1) % 2
-        hbm = out_hbm.at[b, planes[k - 1], gi, pl.ds(row0 + 1, rows), :, :]
+    def rmw_copy(j, write: bool):
+        """RMW transfer for OUT plane index j (emitted at iteration
+        j+1); slot j%3.  Planes touch disjoint HBM regions, so reads
+        can be issued arbitrarily early."""
+        slot = j % 3
+        hbm = out_hbm.at[b, planes[j], gi, pl.ds(row0 + 1, rows), :, :]
         if write:
             return pltpu.make_async_copy(rmw.at[slot], hbm,
                                          rmw_sems.at[slot])
@@ -150,31 +153,37 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
         zfull = jnp.pad(z, ((0, 0), (1, wp - w - 1), (0, 0)))
         z128 = jnp.pad(zfull, ((0, 0), (0, 0), (loff, 128 - loff - g)))
 
-        slot = (k - 1) % 2
-        rmw_copy(k, write=False).wait()
+        slot = (k - 1) % 3
+        rmw_copy(k - 1, write=False).wait()
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, wp, 128), 2)
         sel = (lane >= loff) & (lane < loff + g)
         rmw[slot] = jnp.where(sel, z128.astype(dtype), rmw[slot])
-        rmw_copy(k, write=True).start()
+        rmw_copy(k - 1, write=True).start()
 
+    # Pipeline (measured: the per-iteration DMA wait chain, not dots or
+    # bandwidth, dominated early blocks): x reads issued TWO planes
+    # ahead, RMW reads one iteration before their emit, 3-slot rings.
     n = len(planes)
-    if planes[0] >= in_lo:
-        dma(0).start()
+    for k in (0, 1):
+        if k < n and in_lo <= planes[k] < in_hi:
+            dma(k).start()
     for k in range(n):
-        if k + 1 < n and in_lo <= planes[k + 1] < in_hi:
-            dma(k + 1).start()
-        if k >= 2:
-            if k >= 4:
-                rmw_copy(k - 2, write=True).wait()  # free this slot
-            rmw_copy(k, write=False).start()
+        if k + 2 < n and in_lo <= planes[k + 2] < in_hi:
+            dma(k + 2).start()
+        if 1 <= k <= n - 2:
+            if k - 3 >= 1:
+                # slot k%3 was last used by plane k-3's write (started
+                # at iteration k-2); it must land before the new read
+                rmw_copy(k - 3, write=True).wait()
+            rmw_copy(k, write=False).start()        # for emit at k+1
         compute_a(k)
         scatter_p(k)
         if k >= 2:
             emit(k)
-    # drain the last two appends before the grid step ends
-    for k in (n - 2, n - 1):
-        if k >= 2:
-            rmw_copy(k, write=True).wait()
+    # drain every write not already waited in-loop (in-loop waits cover
+    # planes 1..n-5; started writes cover 1..n-2)
+    for j in range(max(1, n - 4), n - 1):
+        rmw_copy(j, write=True).wait()
 
 
 def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
@@ -215,12 +224,12 @@ def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
         out_shape=jax.ShapeDtypeStruct(xbuf.shape, dtype),
         input_output_aliases={0: 0},
         scratch_shapes=[
-            pltpu.VMEM((2, ng, rows + 2, wp, 128), dtype),      # xslots
+            pltpu.VMEM((3, ng, rows + 2, wp, 128), dtype),      # xslots
             pltpu.VMEM((1, (rows + 2) * wp, f), dtype),         # aslot
-            pltpu.VMEM((2, rows, wp, 128), dtype),              # rmw
+            pltpu.VMEM((3, rows, wp, 128), dtype),              # rmw
             pltpu.VMEM((3, (rows + 2) * wp, 9 * g), jnp.float32),  # zacc
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024,
