@@ -97,9 +97,12 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
             xv = xslots[k % 3, gg].astype(jnp.float32)
             t0 = jnp.maximum(xv * sa[gg].reshape(1, 1, 128)
                              + oa[gg].reshape(1, 1, 128), 0.0)
-            t0 = jnp.where(valid, t0, 0.0).astype(dtype).reshape(lp, 128)
+            # no per-group validity mask: invalid pixels (buffer zeros)
+            # yield the CONSTANT relu(oa).wa per channel, and the final
+            # valid2 mask zeroes those rows of a1 anyway
             d = jax.lax.dot_general(
-                t0, wa[gg], (((1,), (0,)), ((), ())),
+                t0.astype(dtype).reshape(lp, 128), wa[gg],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_prec(dtype),
             )
             a1 = d if a1 is None else a1 + d
