@@ -54,7 +54,7 @@ class BlockParams(NamedTuple):
 
 
 def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
-            xslots, aslots, rmw, zacc, x_sems, rmw_sems,
+            xslots, aslot, rmw, zacc, x_sems, rmw_sems,
             *, rows, wp, w, h, f, fc, g, gi, loff, in_lo, in_hi,
             out_lo, out_hi, dtype):
     b = pl.program_id(0)
@@ -78,18 +78,15 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
         # wide minor dim would run at 128/C efficiency)
         return pltpu.make_async_copy(
             x_hbm.at[b, planes[k], pl.ds(0, ng), pl.ds(row0, rows + 2), :, :],
-            xslots.at[k % 3, pl.ds(0, ng)],
+            xslots.at[k % 3],
             x_sems.at[k % 3],
         )
 
     def compute_a(k):
         # single a-slot: the tap-fused scatter consumes each a-plane
-        # immediately (no 3-plane window of live a's anymore)
-        p = planes[k]
-        if p < in_lo or p >= in_hi:
-            # pad plane: the reference zero-pads AFTER the pointwise
-            # chain, so its a-values are exactly zero
-            aslots[0] = jnp.zeros((lp, f), dtype)
+        # immediately (no 3-plane window of live a's anymore).  Pad
+        # planes (known at trace time) are handled in scatter_p.
+        if planes[k] < in_lo or planes[k] >= in_hi:
             return
         dma(k).wait()
         a1 = None
@@ -107,7 +104,7 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
             )
             a1 = d if a1 is None else a1 + d
         a1 = jnp.maximum(a1 * sb[0].reshape(1, f) + ob[0].reshape(1, f), 0.0)
-        aslots[0] = jnp.where(valid2, a1, 0.0).astype(dtype)
+        aslot[...] = jnp.where(valid2, a1, 0.0).astype(dtype)
 
     def rmw_copy(j, write: bool):
         """RMW transfer for OUT plane index j (emitted at iteration
@@ -127,9 +124,14 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
         slices are scattered into the 3-slot accumulator ring of the
         output planes k+1 (first touch), k, k-1 (last touch):
         plane p = sum_dt a[p-1+dt] . wb[dt]  <=>  a[q] contributes its
-        dt=0/1/2 slice to planes q+1, q, q-1."""
+        dt=0/1/2 slice to planes q+1, q, q-1.  Temporal pad planes
+        (reference zero-pad-after-activation) contribute exact zeros:
+        initialize the k+1 accumulator and skip the dot entirely."""
+        if planes[k] < in_lo or planes[k] >= in_hi:
+            zacc[(k + 1) % 3] = jnp.zeros((lp, 9 * g), jnp.float32)
+            return
         p9 = jax.lax.dot_general(
-            aslots[0], wcat[:],
+            aslot[...], wcat[:],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_prec(dtype),
         )
@@ -191,7 +193,7 @@ def _kernel(x_hbm, sa, oa, wa, sb, ob, wcat, bb, out_hbm,
 
 def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
                out_lo, out_hi):
-    nb, tp, ngb, hp, wp, _ = xbuf.shape
+    nb, _, _, hp, wp, _ = xbuf.shape
     dtype = xbuf.dtype
     f = p.wa.shape[0]
     g = p.wb.shape[-1]
@@ -228,7 +230,7 @@ def _run_block(xbuf, p: BlockParams, *, rows, h, w, in_lo, in_hi,
         input_output_aliases={0: 0},
         scratch_shapes=[
             pltpu.VMEM((3, ng, rows + 2, wp, 128), dtype),      # xslots
-            pltpu.VMEM((1, (rows + 2) * wp, f), dtype),         # aslot
+            pltpu.VMEM(((rows + 2) * wp, f), dtype),            # aslot
             pltpu.VMEM((3, rows, wp, 128), dtype),              # rmw
             pltpu.VMEM((3, (rows + 2) * wp, 9 * g), jnp.float32),  # zacc
             pltpu.SemaphoreType.DMA((3,)),

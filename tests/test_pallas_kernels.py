@@ -310,3 +310,23 @@ def test_duf_fused_backbone_matches_xla(rng):
     ref = np.asarray(m_x.apply(variables, x, is_train=False)["sr"])
     got = np.asarray(m_f.apply(variables, x, is_train=False)["sr"])
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_duf_fused_backbone_multi_tile(rng):
+    """Same fused-vs-XLA check at a MULTI-row-tile geometry (h=20 ->
+    3 tiles of rows=8 in f32): exercises the 3-slot DMA rings, the
+    cross-tile RMW drain bounds, and halo reads of rows appended by a
+    neighbouring tile — the paths a single-tile h=8 run never touches
+    (an earlier drain-bounds bug produced a device error only at
+    multi-tile sizes)."""
+    from pfnl_tpu.models.duf import DUF
+
+    x = jnp.asarray(rng.random((1, 7, 20, 12, 3)).astype(np.float32))
+    m_x = DUF(num_frames=7, layers=16, conv3d_impl="xla")
+    m_f = DUF(num_frames=7, layers=16, conv3d_impl="fused")
+    variables = dict(m_x.init(jax.random.PRNGKey(0), x, is_train=False))
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: jnp.ones_like(a), variables["batch_stats"])
+    ref = np.asarray(m_x.apply(variables, x, is_train=False)["sr"])
+    got = np.asarray(m_f.apply(variables, x, is_train=False)["sr"])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
