@@ -27,10 +27,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(im_ref, uv_ref, out_ref, *, h, w, c, r):
+def _kernel(im_ref, u_ref, v_ref, out_ref, *, h, w, c, r):
     p = r + 1
-    u = uv_ref[0, :, :, 0].astype(jnp.float32)
-    v = uv_ref[0, :, :, 1].astype(jnp.float32)
+    u = u_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
 
     gx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     gy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
@@ -71,16 +71,22 @@ def bounded_splat_canvas(im: jax.Array, uv: jax.Array,
     im: [B, C, H, W] (channel-major planes); uv: [B, H, W, 2] with
     |uv| <= max_disp.  Returns float32 [B, C, H+2p, W+2p] (p = max_disp
     + 1), ready for the border fold (= the reference's index clipping,
-    modules/videosr_ops.py:455-466) in XLA."""
+    modules/videosr_ops.py:455-466) in XLA.
+
+    uv is split into u/v planes before the kernel: a [.., W, 2] block
+    pads its minor dim 2 to 128 lanes in VMEM — 236 MB per buffer at
+    720p, a compile-time OOM; [.., H, W] planes tile cleanly."""
     b, c, h, w = im.shape
     r = int(max_disp)
     p = r + 1
+    uf = jnp.asarray(uv)
     return pl.pallas_call(
         functools.partial(_kernel, h=h, w=w, c=c, r=r),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, w, 2), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, c, h + 2 * p, w + 2 * p),
                                lambda i: (i, 0, 0, 0)),
@@ -90,4 +96,4 @@ def bounded_splat_canvas(im: jax.Array, uv: jax.Array,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(im, uv)
+    )(im, uf[..., 0], uf[..., 1])
