@@ -26,12 +26,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(im_ref, uv_ref, out_ref, pa_ref, pc_ref, ix_ref, *, h, w, s, r):
+def _kernel(im_ref, u_ref, v_ref, out_ref, pa_ref, pc_ref, ix_ref, *, h, w, s, r):
     p = r + 1
     nd = s * (2 * r + 1)  # distinct dy (= dx) offsets
     im = im_ref[0].astype(jnp.float32)
-    u = uv_ref[0, :, :, 0].astype(jnp.float32)
-    v = uv_ref[0, :, :, 1].astype(jnp.float32)
+    u = u_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
 
     gx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
     gy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
@@ -95,9 +95,13 @@ def spmc_phases(im: jax.Array, uv: jax.Array, scale: int,
     return pl.pallas_call(
         functools.partial(_kernel, h=h, w=w, s=s, r=r),
         grid=(b,),
+        # uv split into u/v planes: a [.., W, 2] block pads its minor
+        # dim 2 -> 128 lanes in VMEM (64x padded reads; at 720p sizes a
+        # compile-time OOM — see bounded_splat.py)
         in_specs=[
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, h, w, 2), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, s * s, h + 2 * p, w + 2 * p),
                                lambda i: (i, 0, 0, 0)),
@@ -112,4 +116,4 @@ def spmc_phases(im: jax.Array, uv: jax.Array, scale: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(im, uv)
+    )(im, jnp.asarray(uv)[..., 0], jnp.asarray(uv)[..., 1])
